@@ -1,0 +1,204 @@
+package graft.audio
+
+/** Pure-JVM audio codecs for the clip table's `bytes` column.
+  *
+  * Re-expresses the reference's heavy per-row decode path (Chrome render,
+  * `/root/reference/fetch/fetcher.go:284-373`, and charset transcode,
+  * `/root/reference/fetch/utf8encoding.go:13-32`) as deterministic audio
+  * codec work per BASELINE.json `input_hint`. Three codecs, all
+  * deterministic pure math (ITU-T G.711 companding, public algorithm):
+  *
+  *   - `pcm16`: 16-bit signed little-endian linear PCM (2 bytes/sample)
+  *   - `ulaw` : G.711 mu-law (1 byte/sample, 14-bit dynamic range)
+  *   - `alaw` : G.711 A-law  (1 byte/sample, 13-bit dynamic range)
+  *
+  * Float convention: samples in [-1, 1); short = round(f * 32768) clamped,
+  * decode f = s / 32768f. Round-trip SNR for in-range signals is ~35-40 dB
+  * for the companded codecs (verified in AudioCodecSpec; the per-row
+  * invariant requires >= 30 dB).
+  */
+object AudioCodec {
+
+  final val Pcm16 = "pcm16"
+  final val Ulaw  = "ulaw"
+  final val Alaw  = "alaw"
+  final val Codecs: Seq[String] = Seq(Pcm16, Ulaw, Alaw)
+
+  @inline private def clampShort(v: Int): Short =
+    if (v > 32767) 32767.toShort else if (v < -32768) (-32768).toShort else v.toShort
+
+  @inline def floatToShort(f: Float): Short = clampShort(math.round(f * 32768f))
+  @inline def shortToFloat(s: Short): Float = s / 32768f
+
+  // ----- G.711 segment tables (ITU-T, public) -----
+  private val SegAend = Array(0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+  private val SegUend = Array(0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF)
+  private val UlawBias = 0x84
+  private val UlawClip = 32635
+
+  @inline private def segment(v: Int, table: Array[Int]): Int = {
+    var i = 0
+    while (i < 8 && v > table(i)) i += 1
+    i
+  }
+
+  /** G.711 linear (16-bit) -> A-law byte. */
+  def linearToAlaw(pcm16: Short): Byte = {
+    var pcm = pcm16 >> 3 // 16 -> 13 bit
+    var mask = 0xD5
+    if (pcm < 0) { mask = 0x55; pcm = -pcm - 1 }
+    val seg = segment(pcm, SegAend)
+    if (seg >= 8) (0x7F ^ mask).toByte
+    else {
+      var aval = seg << 4
+      if (seg < 2) aval |= (pcm >> 1) & 0xF
+      else aval |= (pcm >> seg) & 0xF
+      (aval ^ mask).toByte
+    }
+  }
+
+  /** G.711 A-law byte -> linear (16-bit). */
+  def alawToLinear(alaw: Byte): Short = {
+    val a = (alaw ^ 0x55) & 0xFF
+    var t = (a & 0xF) << 4
+    val seg = (a & 0x70) >> 4
+    seg match {
+      case 0 => t += 8
+      case 1 => t += 0x108
+      case _ => t += 0x108; t <<= (seg - 1)
+    }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  /** G.711 linear (16-bit) -> mu-law byte (Sun/CCITT g711.c convention,
+    * BIAS in the 16-bit domain — matched pair with ulawToLinear). */
+  def linearToUlaw(pcm16: Short): Byte = {
+    var pcm = pcm16.toInt
+    var mask = 0xFF
+    if (pcm < 0) { pcm = -pcm; mask = 0x7F }
+    if (pcm > UlawClip) pcm = UlawClip
+    pcm += UlawBias
+    val seg = segment(pcm, SegUend)
+    if (seg >= 8) (0x7F ^ mask).toByte
+    else (((seg << 4) | ((pcm >> (seg + 3)) & 0xF)) ^ mask).toByte
+  }
+
+  /** G.711 mu-law byte -> linear (16-bit). */
+  def ulawToLinear(ulaw: Byte): Short = {
+    val u = (~ulaw) & 0xFF
+    var t = ((u & 0xF) << 3) + UlawBias
+    t <<= (u & 0x70) >> 4
+    clampShort(if ((u & 0x80) != 0) UlawBias - t else t - UlawBias)
+  }
+
+  // ----- byte[] <-> float[] -----
+
+  def encode(samples: Array[Float], codec: String): Array[Byte] = codec match {
+    case Pcm16 =>
+      val out = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = floatToShort(samples(i))
+        out(2 * i) = (s & 0xFF).toByte
+        out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      out
+    case Ulaw =>
+      val out = new Array[Byte](samples.length)
+      var i = 0
+      while (i < samples.length) { out(i) = linearToUlaw(floatToShort(samples(i))); i += 1 }
+      out
+    case Alaw =>
+      val out = new Array[Byte](samples.length)
+      var i = 0
+      while (i < samples.length) { out(i) = linearToAlaw(floatToShort(samples(i))); i += 1 }
+      out
+    case other => throw new IllegalArgumentException(s"unknown codec: $other")
+  }
+
+  def decode(bytes: Array[Byte], codec: String): Array[Float] = codec match {
+    case Pcm16 =>
+      val n = bytes.length / 2
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort
+        out(i) = shortToFloat(s)
+        i += 1
+      }
+      out
+    case Ulaw =>
+      val out = new Array[Float](bytes.length)
+      var i = 0
+      while (i < bytes.length) { out(i) = shortToFloat(ulawToLinear(bytes(i))); i += 1 }
+      out
+    case Alaw =>
+      val out = new Array[Float](bytes.length)
+      var i = 0
+      while (i < bytes.length) { out(i) = shortToFloat(alawToLinear(bytes(i))); i += 1 }
+      out
+    case other => throw new IllegalArgumentException(s"unknown codec: $other")
+  }
+
+  /** Number of samples encoded in `bytes` for `codec` (no decode needed). */
+  def sampleCount(nBytes: Int, codec: String): Int =
+    if (codec == Pcm16) nBytes / 2 else nBytes
+
+  /** Signal-to-noise ratio in dB of `decoded` against reference `signal`. */
+  def snrDb(signal: Array[Float], decoded: Array[Float]): Double = {
+    require(signal.length == decoded.length,
+      s"length mismatch: ${signal.length} vs ${decoded.length}")
+    var sig = 0.0; var err = 0.0; var i = 0
+    while (i < signal.length) {
+      val s = signal(i).toDouble
+      val e = s - decoded(i)
+      sig += s * s; err += e * e; i += 1
+    }
+    if (err == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(sig / err)
+  }
+}
+
+/** Deterministic PCM synthesis, seeded per clip — the fixture side.
+  * Two-tone sine + linear chirp, amplitude bounded well inside [-1, 1].
+  */
+object AudioSynth {
+
+  /** splitmix64 — stable 64-bit mixer (public algorithm, Steele et al.). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit string hash — stable across JVMs (unlike String.hashCode
+    * it is ours to keep fixed). */
+  def hash64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** Synthesize `n` samples at `srHz`, deterministically from `seed`. */
+  def synth(seed: Long, srHz: Int, n: Int): Array[Float] = {
+    val h1 = mix64(seed)
+    val h2 = mix64(h1)
+    val f1 = 150.0 + java.lang.Long.remainderUnsigned(h1, 1200L)         // 150-1349 Hz
+    val f2 = 250.0 + java.lang.Long.remainderUnsigned(h2, 2200L)         // 250-2449 Hz
+    val chirpRate = 20.0 + java.lang.Long.remainderUnsigned(mix64(h2), 300L)
+    val w1 = 2.0 * math.Pi * f1 / srHz
+    val w2 = 2.0 * math.Pi * f2 / srHz
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / srHz
+      val chirp = math.sin(2.0 * math.Pi * (100.0 + 0.5 * chirpRate * t) * t)
+      out(i) = (0.40 * math.sin(w1 * i) + 0.30 * math.sin(w2 * i) + 0.18 * chirp).toFloat
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,176 @@
+package graft.fixtures
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.audio.{AudioCodec, AudioSynth}
+
+/** One row of the engine's input table — exactly the BASELINE.json
+  * `input_hint` shape: (clip_id, bytes, sr_hz, dur_ms, codec, transcript).
+  * `person_idx` ties the clip back to its fixture person; `event_time` is
+  * the derived deterministic event time (cumulative dur_ms offsets per
+  * (codec, sr_hz) key — computed at generation time, never in-stream, so
+  * every run and parallelism level sees identical timestamps).
+  */
+final case class ClipRow(
+    clip_id: String,
+    bytes: Array[Byte],
+    sr_hz: Int,
+    dur_ms: Int,
+    codec: String,
+    transcript: String,
+    person_idx: Int)
+
+final case class TranscriptUpdate(
+    clip_id: String,
+    transcript: String,
+    update_time: java.sql.Timestamp)
+
+/** Deterministic synthesizer + Iceberg-style writer for the clips table.
+  *
+  * Layout: parquet partitioned by (p_codec, p_bucket) mirroring the
+  * mandated Iceberg partition spec (bucket(clip_id), codec) — SURVEY.md
+  * §7.0. `codec` stays as a data column (the partition dirs use copies) so
+  * downstream engines (incl. the DuckDB oracle) see the full schema without
+  * hive-partition inference.
+  *
+  * Everything is keyed off mix64(clipIdx) — same input at any parallelism.
+  */
+object ClipGen {
+
+  /** Bump to invalidate cached generated tables. */
+  val Version = 4
+
+  val NumBuckets = 8
+  val EpochBase = java.time.Instant.parse("2024-01-01T00:00:00Z")
+
+  /** Skewed codec distribution 80/15/5 (FIXTURES.md §2) — exercises
+    * salted-repartition; skew re-expresses the reference's per-domain
+    * request-burst problem (`/root/reference/scrape/scrape.go:344-346`). */
+  def codecFor(h: Long): String = {
+    val r = java.lang.Long.remainderUnsigned(h, 100L)
+    if (r < 80) AudioCodec.Pcm16 else if (r < 95) AudioCodec.Ulaw else AudioCodec.Alaw
+  }
+
+  /** Skewed sample-rate distribution 70/20/10. */
+  def srFor(h: Long): Int = {
+    val r = java.lang.Long.remainderUnsigned(h, 100L)
+    if (r < 70) 8000 else if (r < 90) 16000 else 44100
+  }
+
+  def durMsFor(h: Long): Int =
+    200 + java.lang.Long.remainderUnsigned(h, 3801L).toInt // 200..4000 ms
+
+  def clipId(idx: Long): String = f"clip-$idx%08d"
+
+  /** Pure row synthesis for clip index `idx` (no Spark). */
+  def clipRow(idx: Long): ClipRow = {
+    val h = AudioSynth.mix64(0xC11F_5EEDL + idx)
+    val codec = codecFor(AudioSynth.mix64(h + 1))
+    val sr = srFor(AudioSynth.mix64(h + 2))
+    val durMs = durMsFor(AudioSynth.mix64(h + 3))
+    val n = (sr.toLong * durMs / 1000L).toInt
+    val pcm = AudioSynth.synth(h, sr, n)
+    val bytes = AudioCodec.encode(pcm, codec)
+    val personIdx = (idx % Persons.N).toInt
+    ClipRow(clipId(idx), bytes, sr, durMs, codec,
+      Persons.transcript(Persons.all(personIdx)), personIdx)
+  }
+
+  /** Reference PCM for a clip — what DecodePcm must match at SNR >= 30 dB. */
+  def referencePcm(idx: Long): Array[Float] = {
+    val h = AudioSynth.mix64(0xC11F_5EEDL + idx)
+    val sr = srFor(AudioSynth.mix64(h + 2))
+    val durMs = durMsFor(AudioSynth.mix64(h + 3))
+    AudioSynth.synth(h, sr, (sr.toLong * durMs / 1000L).toInt)
+  }
+
+  /** Deterministic ~20% late-update subset (the details-join / fallback
+    * re-expression). Update arrives `delay` after the clip's event time. */
+  def isUpdated(idx: Long): Boolean =
+    java.lang.Long.remainderUnsigned(AudioSynth.mix64(0x0BDA_7E5EL + idx), 5L) == 0L
+
+  // ---------------------------------------------------------------- spark
+
+  /** Clip count for a scale-factor directory name ("sf0.01" -> 5000).
+    * Unknown names fall back to the smallest test scale. */
+  def clipCountFor(sfDir: String): Long = {
+    val name = Paths.get(sfDir).getFileName.toString
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(name).map(_.group(1).toDouble)
+    val perUnit = sys.env.getOrElse("SPARK_GRAFT_CLIPS_PER_SF", "500000").toLong
+    sf.map(s => math.max(100L, (s * perUnit).toLong)).getOrElse(500L)
+  }
+
+  /** Base DataFrame of n clips with derived event_time (not yet written). */
+  def clipsDf(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (n / 2000L).toInt).min(256)
+    val base = spark.range(0, n, 1, parts).map(i => clipRow(i)).toDF()
+    // event_time = base + cumsum(dur_ms) per (codec, sr_hz), ordered by
+    // clip_id — a generation-time window, deterministic by construction.
+    val w = Window.partitionBy($"codec", $"sr_hz").orderBy($"clip_id")
+    base.withColumn("offset_ms", sum($"dur_ms").over(w) - $"dur_ms")
+      .withColumn("event_time",
+        timestamp_millis(lit(EpochBase.toEpochMilli) + $"offset_ms"))
+      .drop("offset_ms")
+  }
+
+  def updatesDf(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val clips = clipsDf(spark, n)
+    val updated = clips.filter(udf((id: String) =>
+        isUpdated(id.stripPrefix("clip-").toLong)).apply($"clip_id"))
+      .select($"clip_id", $"person_idx", $"event_time")
+    val enrich = udf((p: Int) => Persons.enrichedTranscript(Persons.all(p)))
+    updated
+      .withColumn("transcript", enrich($"person_idx"))
+      .withColumn("update_time",
+        timestamp_millis(unix_millis($"event_time") + lit(15000L)))
+      .select($"clip_id", $"transcript", $"update_time")
+  }
+
+  private def bucketCol = pmod(crc32(col("clip_id").cast("string")), lit(NumBuckets))
+
+  /** Generate (or reuse cached) clips + updates tables for `sfDir`.
+    * Returns (clipsPath, updatesPath). */
+  def ensure(spark: SparkSession, sfDir: String,
+             root: String = "/root/repo/data/clips"): (String, String) = {
+    val name = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(root, name)
+    val clipsPath = dir.resolve("clips").toString
+    val updatesPath = dir.resolve("updates").toString
+    val marker = dir.resolve("_gen_version")
+    val n = clipCountFor(sfDir)
+    val want = s"v$Version n$n"
+    val have = if (Files.exists(marker)) Files.readString(marker).trim else ""
+    if (have != want) {
+      clipsDf(spark, n)
+        .withColumn("p_codec", col("codec"))
+        .withColumn("p_bucket", bucketCol)
+        .repartition(col("p_codec"), col("p_bucket"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("p_codec", "p_bucket")
+        .parquet(clipsPath)
+      updatesDf(spark, n)
+        .repartition(4)
+        .write.mode(SaveMode.Overwrite).parquet(updatesPath)
+      Files.createDirectories(dir)
+      Files.writeString(marker, want)
+    }
+    (clipsPath, updatesPath)
+  }
+
+  def readClips(spark: SparkSession, sfDir: String): DataFrame = {
+    val (p, _) = ensure(spark, sfDir)
+    spark.read.parquet(p).drop("p_codec", "p_bucket")
+  }
+
+  def readUpdates(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, p) = ensure(spark, sfDir)
+    spark.read.parquet(p)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, FloatType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.audio.AudioCodec
+
+/** `decode_pcm(bytes, codec, sr_hz) -> array<float>` — the Catalyst-native
+  * codec expression mandated by the north star: the analog of the
+  * reference's heavy per-row render/transcode path
+  * (`/root/reference/fetch/fetcher.go:284-373`,
+  * `/root/reference/fetch/utf8encoding.go:13-32`) as a real Catalyst
+  * `Expression` with codegen (`doGenCode` emits a static call — stays
+  * inside whole-stage codegen, no UDF serialization, no Row boxing).
+  *
+  * `sr_hz` is part of the logical signature (a decode must know its clock)
+  * but byte->float companding is rate-independent for these codecs.
+  */
+case class DecodePcm(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"decode_pcm expects (binary, string, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "decode_pcm"
+
+  override def nullSafeEval(bytes: Any, codec: Any, sr: Any): Any =
+    DecodePcm.decode(bytes.asInstanceOf[Array[Byte]], codec.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, _) =>
+      s"${ev.value} = graft.functions.DecodePcm.decode($b, $c);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+object DecodePcm {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def decode(bytes: Array[Byte], codec: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(AudioCodec.decode(bytes, codec.toString))
+}
+
+/** `pcm_sample_count(bytes, codec) -> int` — sample count without decoding
+  * (cheap length math; used for pushdown-friendly stats columns). */
+case class PcmSampleCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_sample_count expects (binary, string), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pcm_sample_count"
+  override def nullSafeEval(bytes: Any, codec: Any): Any =
+    AudioCodec.sampleCount(bytes.asInstanceOf[Array[Byte]].length,
+      codec.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) =>
+      s"""${ev.value} = graft.audio.AudioCodec.sampleCount($b.length, $c.toString());""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+object GraftFunctions {
+  /** Expression -> Column bridge (Spark 4 classic API). */
+  def toColumn(e: Expression): Column = Bridge.column(e)
+  def toExpr(c: Column): Expression = Bridge.expression(c)
+
+  def decode_pcm(bytes: Column, codec: Column, srHz: Column): Column =
+    toColumn(DecodePcm(toExpr(bytes), toExpr(codec), toExpr(srHz)))
+
+  def pcm_sample_count(bytes: Column, codec: Column): Column =
+    toColumn(PcmSampleCount(toExpr(bytes), toExpr(codec)))
+
+  /** Register graft functions for SQL use in this session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("decode_pcm",
+      es => DecodePcm(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_sample_count",
+      es => PcmSampleCount(es(0), es(1)), "scala_udf")
+  }
+}

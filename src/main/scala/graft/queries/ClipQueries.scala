@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.ClipGen
+import graft.functions.GraftFunctions._
+import graft.operators.{Extraction, ExtractionSpec, FieldSpec}
+
+/** The CEP-engine query surface over the synthesized clips table
+  * (BASELINE.json input_hint shape), batch form — the streaming twins live
+  * in graft.streaming and are verified by the golden/stream-parity suites.
+  *
+  * Oracle note: the clips table is generated (deterministically) under
+  * /root/repo/data/clips/<sf>/clips as parquet, so the DuckDB oracle reads
+  * it via read_parquet on the same files the Spark side reads. Window math
+  * in the oracles is integer-millisecond (`epoch_ms`) to avoid any
+  * double-precision drift vs Spark's microsecond-integer windows.
+  */
+object ClipQueries {
+
+  /** Driver verifies at sf0.01 — oracle paths are pinned to that scale. */
+  val OracleSf = "sf0.01"
+  def clipsGlob(sf: String = OracleSf): String =
+    s"/root/repo/data/clips/$sf/clips/*/*/*.parquet"
+  def updatesGlob(sf: String = OracleSf): String =
+    s"/root/repo/data/clips/$sf/updates/*.parquet"
+
+  /** The reference "persons cards" payload re-expressed (SURVEY.md §7.2.3):
+    * the flagship extraction spec. */
+  val cardsSpec: ExtractionSpec = ExtractionSpec("cards", Seq(
+    FieldSpec("Name", "name", Seq("text", "href")),
+    FieldSpec("Phones", "phone", Seq("text")),
+    FieldSpec("Email", "email", Seq("text")),
+    FieldSpec("Company", "company", Seq("text")),
+    FieldSpec("Counter", "counter", Seq("text")),
+    FieldSpec("Country", "country", Seq("text")),
+    FieldSpec("City", "city", Seq("text"))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Selector/regex field extraction over transcripts — P1/P2/D1/D2 with
+    // the encode-time unwrap rule. Bit-for-bit vs the DuckDB oracle.
+    "c1_extract_fields" -> ((s, dir) => {
+      val clips = ClipGen.readClips(s, dir)
+      Extraction(cardsSpec)(clips)
+        .select(col("clip_id"),
+          Extraction.encodeUnwrap(col("Name_text")).as("name_text"),
+          Extraction.encodeUnwrap(col("Name_href")).as("name_href"),
+          Extraction.encodeUnwrap(col("Phones_text")).as("phones_text"),
+          Extraction.encodeUnwrap(col("Email_text")).as("email_text"),
+          Extraction.encodeUnwrap(col("Counter_text")).as("counter_text"),
+          Extraction.encodeUnwrap(col("Country_text")).as("country_text"))
+        .orderBy("clip_id")
+    }),
+
+    // Tumbling event-time windows keyed (codec, sr_hz) — the pagination
+    // loop re-expressed as windowed aggregation (SURVEY.md §2.11 T2).
+    "c2_tumbling_counts" -> ((s, dir) => {
+      ClipGen.readClips(s, dir)
+        .groupBy(window(col("event_time"), "10 seconds"), col("codec"), col("sr_hz"))
+        .agg(count(lit(1)).as("n_clips"), sum(col("dur_ms")).as("sum_dur_ms"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("codec"), col("sr_hz"), col("n_clips"), col("sum_dur_ms"))
+        .orderBy("w_start_ms", "codec", "sr_hz")
+    }),
+
+    // Sliding windows (10s / 5s slide): each row lands in 2 windows.
+    "c3_sliding_counts" -> ((s, dir) => {
+      ClipGen.readClips(s, dir)
+        .groupBy(window(col("event_time"), "10 seconds", "5 seconds"), col("codec"))
+        .agg(count(lit(1)).as("n_clips"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("codec"), col("n_clips"))
+        .orderBy("w_start_ms", "codec")
+    }),
+
+    // Session windows (30s gap) keyed by codec — batch session_window.
+    "c4_session_windows" -> ((s, dir) => {
+      ClipGen.readClips(s, dir)
+        .groupBy(session_window(col("event_time"), "30 seconds"), col("codec"))
+        .agg(count(lit(1)).as("n_clips"))
+        .select(unix_millis(col("session_window.start")).as("w_start_ms"),
+          col("codec"), col("n_clips"))
+        .orderBy("codec", "w_start_ms")
+    }),
+
+    // Codec-aware sample counting without decode (cheap stats path).
+    "c5_pcm_stats" -> ((s, dir) => {
+      ClipGen.readClips(s, dir)
+        .select(col("clip_id"), col("codec"), col("sr_hz"), col("dur_ms"),
+          pcm_sample_count(col("bytes"), col("codec")).as("n_samples"),
+          length(col("bytes")).as("n_bytes"))
+        .orderBy("clip_id")
+    }),
+
+    // The details join re-expressed in batch: clips ⟕ late transcript
+    // updates on clip_id; details fields extracted from the enriched
+    // transcript (J1). ~20% of clips have updates.
+    "c6_join_updates" -> ((s, dir) => {
+      val clips = ClipGen.readClips(s, dir).select("clip_id", "codec", "transcript")
+      val updates = ClipGen.readUpdates(s, dir)
+        .select(col("clip_id"), col("transcript").as("transcript2"))
+      clips.join(updates, Seq("clip_id"), "left_outer")
+        .select(col("clip_id"), col("codec"),
+          when(col("transcript2").isNotNull, lit(1)).otherwise(lit(0)).as("updated"),
+          coalesce(
+            regexp_extract(col("transcript2"), "<title>([^<]*)</title>", 1),
+            lit("")).as("details_title"))
+        .orderBy("clip_id")
+    }),
+
+    // Decode-dependent stats: PCM energy via the Catalyst decode_pcm
+    // expression + higher-order aggregate (no UDF, no RDD). Not SQL-
+    // expressible in DuckDB (binary codec decode) -> rows-only check;
+    // full verification happens in the sbt test suite vs reference PCM.
+    "c7_decode_energy" -> ((s, dir) => {
+      ClipGen.readClips(s, dir)
+        .withColumn("pcm", decode_pcm(col("bytes"), col("codec"), col("sr_hz")))
+        .select(col("clip_id"), col("codec"),
+          size(col("pcm")).as("n_samples"),
+          round(
+            sqrt(aggregate(col("pcm"), lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double")) / size(col("pcm"))),
+            4).as("rms"))
+        .orderBy("clip_id")
+    }))
+
+  val oracleSql: Map[String, String] = {
+    val clips = s"read_parquet('${clipsGlob()}')"
+    val updates = s"read_parquet('${updatesGlob()}')"
+    Map(
+      "c1_extract_fields" ->
+        s"""SELECT clip_id,
+           |  regexp_extract(transcript, '<name[^>]*>([^<]*)</name>', 1) AS name_text,
+           |  regexp_extract(transcript, '<name href="([^"]*)"', 1) AS name_href,
+           |  array_to_string(regexp_extract_all(transcript, '<phone>([^<]*)</phone>', 1), ';') AS phones_text,
+           |  regexp_extract(transcript, '<email>([^<]*)</email>', 1) AS email_text,
+           |  regexp_extract(transcript, '<counter>([^<]*)</counter>', 1) AS counter_text,
+           |  regexp_extract(transcript, '<country>([^<]*)</country>', 1) AS country_text
+           |FROM $clips ORDER BY clip_id""".stripMargin,
+      "c2_tumbling_counts" ->
+        s"""SELECT (epoch_ms(event_time) // 10000) * 10000 AS w_start_ms,
+           |  codec, sr_hz, count(*) AS n_clips, CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms
+           |FROM $clips GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      "c3_sliding_counts" ->
+        s"""WITH e AS (SELECT codec, epoch_ms(event_time) AS ms FROM $clips),
+           |  w AS (SELECT codec, ms, (ms // 5000) * 5000 - 5000 * g AS w_start_ms
+           |        FROM e CROSS JOIN (SELECT unnest([0, 1]) AS g)
+           |        WHERE (ms // 5000) * 5000 - 5000 * g + 10000 > ms)
+           |SELECT w_start_ms, codec, count(*) AS n_clips
+           |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "c4_session_windows" ->
+        s"""WITH e AS (SELECT codec, clip_id, epoch_ms(event_time) AS ms FROM $clips),
+           |  b AS (SELECT codec, clip_id, ms,
+           |          CASE WHEN ms - lag(ms) OVER (PARTITION BY codec ORDER BY ms, clip_id) >= 30000
+           |               OR lag(ms) OVER (PARTITION BY codec ORDER BY ms, clip_id) IS NULL
+           |               THEN 1 ELSE 0 END AS brk
+           |        FROM e),
+           |  g AS (SELECT codec, ms, sum(brk) OVER (PARTITION BY codec ORDER BY ms, clip_id
+           |          ROWS UNBOUNDED PRECEDING) AS grp FROM b)
+           |SELECT min(ms) AS w_start_ms, codec, count(*) AS n_clips
+           |FROM g GROUP BY codec, grp ORDER BY codec, w_start_ms""".stripMargin,
+      "c5_pcm_stats" ->
+        s"""SELECT clip_id, codec, sr_hz, dur_ms,
+           |  CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes) // 2
+           |       ELSE octet_length(bytes) END AS INTEGER) AS n_samples,
+           |  CAST(octet_length(bytes) AS INTEGER) AS n_bytes
+           |FROM $clips ORDER BY clip_id""".stripMargin,
+      "c6_join_updates" ->
+        s"""SELECT c.clip_id, c.codec,
+           |  CASE WHEN u.clip_id IS NOT NULL THEN 1 ELSE 0 END AS updated,
+           |  coalesce(regexp_extract(u.transcript, '<title>([^<]*)</title>', 1), '') AS details_title
+           |FROM $clips c LEFT JOIN $updates u ON c.clip_id = u.clip_id
+           |ORDER BY c.clip_id""".stripMargin)
+  }
+}
