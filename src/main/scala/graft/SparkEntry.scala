@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{ClipQueries, RelationalQueries}
+import graft.queries.{ClipQueries, DocQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,13 @@ object SparkEntry {
     ClipQueries.queries("c2_tumbling_counts")(spark, "/root/testdata/sf0.001")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (plus the
+    * training-data pipeline operators: dedup/similarity/text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ClipQueries.queries
+    RelationalQueries.queries ++ ClipQueries.queries ++ DocQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ ClipQueries.oracleSql
+    RelationalQueries.oracleSql ++ ClipQueries.oracleSql ++ DocQueries.oracleSql
 }

@@ -145,6 +145,32 @@ object AudioCodec {
   def sampleCount(nBytes: Int, codec: String): Int =
     if (codec == Pcm16) nBytes / 2 else nBytes
 
+  /** Fused decode + RMS — no intermediate float array (hot-path friendly:
+    * one pass over the bytes, zero allocation). */
+  def rms(bytes: Array[Byte], codec: String): Double = {
+    var acc = 0.0
+    var n = 0
+    codec match {
+      case Pcm16 =>
+        n = bytes.length / 2
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+          acc += s * s; i += 1
+        }
+      case Ulaw =>
+        n = bytes.length
+        var i = 0
+        while (i < n) { val s = ulawToLinear(bytes(i)) / 32768.0; acc += s * s; i += 1 }
+      case Alaw =>
+        n = bytes.length
+        var i = 0
+        while (i < n) { val s = alawToLinear(bytes(i)) / 32768.0; acc += s * s; i += 1 }
+      case other => throw new IllegalArgumentException(s"unknown codec: $other")
+    }
+    if (n == 0) 0.0 else math.sqrt(acc / n)
+  }
+
   /** Signal-to-noise ratio in dB of `decoded` against reference `signal`. */
   def snrDb(signal: Array[Float], decoded: Array[Float]): Double = {
     require(signal.length == decoded.length,

@@ -42,9 +42,12 @@ final case class TranscriptUpdate(
 object ClipGen {
 
   /** Bump to invalidate cached generated tables. */
-  val Version = 4
+  val Version = 5
 
-  val NumBuckets = 8
+  /** 16 buckets x 3 codecs = 48 leaf partitions -> enough file-level
+    * parallelism for a 32-core scan even within one micro-batch; at real
+    * cluster scale the bucket count rises with the executor count. */
+  val NumBuckets = 16
   val EpochBase = java.time.Instant.parse("2024-01-01T00:00:00Z")
 
   /** Skewed codec distribution 80/15/5 (FIXTURES.md §2) — exercises
@@ -151,7 +154,7 @@ object ClipGen {
       clipsDf(spark, n)
         .withColumn("p_codec", col("codec"))
         .withColumn("p_bucket", bucketCol)
-        .repartition(col("p_codec"), col("p_bucket"))
+        .repartition(3 * NumBuckets, col("p_codec"), col("p_bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("p_codec", "p_bucket")
         .parquet(clipsPath)

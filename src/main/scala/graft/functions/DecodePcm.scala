@@ -75,6 +75,28 @@ case class PcmSampleCount(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** `pcm_rms(bytes, codec) -> double` — fused decode + RMS in one pass, no
+  * intermediate array (the codegen-friendly fast path; `decode_pcm` +
+  * higher-order `aggregate` computes the same thing ~10x slower because
+  * array HOFs run boxed lambdas outside whole-stage codegen). */
+case class PcmRms(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_rms expects (binary, string), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "pcm_rms"
+  override def nullSafeEval(bytes: Any, codec: Any): Any =
+    AudioCodec.rms(bytes.asInstanceOf[Array[Byte]], codec.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) =>
+      s"${ev.value} = graft.audio.AudioCodec.rms($b, $c.toString());")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 object GraftFunctions {
   /** Expression -> Column bridge (Spark 4 classic API). */
   def toColumn(e: Expression): Column = Bridge.column(e)
@@ -86,6 +108,21 @@ object GraftFunctions {
   def pcm_sample_count(bytes: Column, codec: Column): Column =
     toColumn(PcmSampleCount(toExpr(bytes), toExpr(codec)))
 
+  def pcm_rms(bytes: Column, codec: Column): Column =
+    toColumn(PcmRms(toExpr(bytes), toExpr(codec)))
+
+  def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
+  def sim_hash(text: Column): Column = toColumn(SimHash(toExpr(text)))
+  def min_hash(text: Column, k: Column): Column =
+    toColumn(MinHashSig(toExpr(text), toExpr(k)))
+  def winnow_fp(text: Column): Column = toColumn(WinnowFingerprint(toExpr(text)))
+  def cosine_sim(a: Column, b: Column): Column =
+    toColumn(CosineSim(toExpr(a), toExpr(b)))
+  def qcosine_sim(a: Column, b: Column): Column =
+    toColumn(QCosineSim(toExpr(a), toExpr(b)))
+  def vec_lsh_bucket(v: Column, nBits: Column): Column =
+    toColumn(VecLshBucket(toExpr(v), toExpr(nBits)))
+
   /** Register graft functions for SQL use in this session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -93,5 +130,14 @@ object GraftFunctions {
       es => DecodePcm(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_sample_count",
       es => PcmSampleCount(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_rms",
+      es => PcmRms(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sim_hash", es => SimHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("min_hash", es => MinHashSig(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fp", es => WinnowFingerprint(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("qcosine_sim", es => QCosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_lsh_bucket", es => VecLshBucket(es(0), es(1)), "scala_udf")
   }
 }

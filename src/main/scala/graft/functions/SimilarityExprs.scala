@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+
+/** Embedding similarity kernels as native Catalyst expressions.
+  *
+  * Two variants:
+  *  - `cosine_sim` — plain float32 cosine with double accumulation: the
+  *    fast hot-path kernel.
+  *  - `qcosine_sim` — INT-QUANTIZED cosine: every component is floored to
+  *    int64 at 1e4 scale, dot/norms accumulate as exact integers (addition
+  *    order-free), then one double division. Bit-identical across engines
+  *    and parallelism levels — the oracle-able variant (and the standard
+  *    quantization trick real ANN systems use at scale).
+  */
+object VectorOps {
+
+  val QScale = 10000.0
+
+  def quantize(v: Double): Long = math.floor(v * QScale).toLong
+
+  def qcosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"dim mismatch: $n vs ${b.numElements()}")
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = quantize(a.getFloat(i).toDouble)
+      val y = quantize(b.getFloat(i).toDouble)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"dim mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH bucket (SimHash for vectors): `nBits` seeded
+    * hyperplanes; sign pattern packed into an int. Deterministic (seeded
+    * by graft.audio.AudioSynth.mix64). */
+  def hyperplaneBucket(v: ArrayData, nBits: Int): Int = {
+    val dim = v.numElements()
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        // deterministic pseudo-gaussian-ish weight in [-1, 1)
+        val h = graft.audio.AudioSynth.mix64(b.toLong * 1000003L + i)
+        val w = (h >> 11).toDouble / (1L << 52).toDouble // [-1, 1)
+        acc += w * v.getFloat(i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+}
+
+private[functions] trait FloatVecBinary extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float>, array<float>), got ($l, $r)")
+  }
+}
+
+/** cosine_sim(array<float>, array<float>) -> double */
+case class CosineSim(left: Expression, right: Expression) extends FloatVecBinary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.cosine($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** qcosine_sim(array<float>, array<float>) -> double (exact/quantized) */
+case class QCosineSim(left: Expression, right: Expression) extends FloatVecBinary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "qcosine_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.qcosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.qcosine($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** vec_lsh_bucket(array<float>, nBits) -> int */
+case class VecLshBucket(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_lsh_bucket"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_lsh_bucket expects (array<float>, int literal), got ($l, $r)")
+  }
+  override def nullSafeEval(a: Any, n: Any): Any =
+    VectorOps.hyperplaneBucket(a.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) =>
+      s"${ev.value} = graft.functions.VectorOps.hyperplaneBucket($a, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}

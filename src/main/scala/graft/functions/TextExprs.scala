@@ -1,0 +1,242 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.audio.AudioSynth.{hash64, mix64}
+
+/** Text-analysis primitives for the training-data pipeline operators:
+  * language-ID, SimHash, MinHash and winnowing fingerprints — all native
+  * Catalyst expressions (single pass, codegen'd via static calls; no UDF
+  * serialization, no boxing) so they hold up in a 100 TB scan stage.
+  */
+object TextOps {
+
+  // ---------------------------------------------------------------- langid
+
+  /** Marker stopwords per language (tiny n-gram-free heuristic; enough to
+    * separate the five fixture languages deterministically). */
+  val markers: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+    "es" -> Set("el", "la", "los", "las", "que", "de", "y", "en", "un", "una", "es"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"))
+
+  /** Deterministic language-ID: CJK chars -> zh; Cyrillic -> ru; else the
+    * marker-count argmax (ties resolved by the fixed order above); no
+    * markers at all -> "und". */
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var i = 0
+    var cjk = 0; var cyr = 0; var letters = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+      else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      if (Character.isLetter(c)) letters += 1
+      i += 1
+    }
+    if (letters == 0) return "und"
+    if (cjk * 10 >= letters) return "zh"
+    if (cyr * 10 >= letters) return "ru"
+    val toks = tokenize(text.toLowerCase)
+    var best = "und"; var bestN = 0
+    markers.foreach { case (lang, set) =>
+      val n = toks.count(set.contains)
+      if (n > bestN) { best = lang; bestN = n }
+    }
+    best
+  }
+
+  def tokenize(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens (Charikar): per-token stable
+    * hash votes per bit; sign of the vote sum forms the signature. */
+  def simHash(text: String): Long = {
+    val votes = new Array[Int](64)
+    for (t <- tokenize(text.toLowerCase)) {
+      val h = hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // --------------------------------------------------------------- minhash
+
+  /** Word 3-gram shingle hashes (stable FNV-based). */
+  def shingleHashes(text: String, n: Int = 3): Array[Long] = {
+    val toks = tokenize(text.toLowerCase)
+    if (toks.length < n) {
+      if (toks.isEmpty) Array.empty else Array(hash64(toks.mkString(" ")))
+    } else {
+      val out = new Array[Long](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        out(i) = hash64(toks.slice(i, i + n).mkString(" "))
+        i += 1
+      }
+      out
+    }
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** k MinHash values over the shingle set; permutation i is
+    * h_i(x) = (a_i * x + b_i) mod p with seeded (a_i, b_i). */
+  def minHash(text: String, k: Int = 32, shingleN: Int = 3): Array[Long] = {
+    val sh = shingleHashes(text, shingleN)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (sh.isEmpty) return sig
+    var i = 0
+    while (i < k) {
+      val a = (mix64(0xA11CE_000L + i) & MersennePrime) | 1L
+      val b = mix64(0xB0B_000L + i) & MersennePrime
+      var m = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        // multiply mod 2^61-1 via math.multiplyHigh-free route: use
+        // BigInt-free 128-bit emulation with Math.multiplyHigh (JDK 9+)
+        val x = sh(j) & MersennePrime
+        val hi = Math.multiplyHigh(a, x)
+        val lo = a * x
+        // fold 128-bit product mod 2^61-1
+        var r = (lo & MersennePrime) + ((lo >>> 61) | (hi << 3)) + b
+        r = (r & MersennePrime) + (r >>> 61)
+        if (r >= MersennePrime) r -= MersennePrime
+        if (r < m) m = r
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard similarity from two MinHash signatures. */
+  def minHashSim(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Exact n-gram Jaccard similarity of two texts. */
+  def jaccard(a: String, b: String, n: Int = 3): Double = {
+    val sa = shingleHashes(a, n).toSet
+    val sb = shingleHashes(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  /** Winnowing fingerprint set (Schleimer et al., MOSS): the distinct
+    * minimum shingle hash of each sliding window of `w` — a small edit
+    * changes only the windows that cover it, so two near-duplicate
+    * documents share most selected fingerprints (similarity = overlap of
+    * the sets). Returned sorted for deterministic output. */
+  def winnowFingerprint(text: String, w: Int = 4): Array[Long] = {
+    val sh = shingleHashes(text, 3)
+    if (sh.isEmpty) return Array.empty
+    if (sh.length <= w) return Array(sh.min)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + w <= sh.length) {
+      var m = Long.MaxValue
+      var j = i
+      while (j < i + w) { if (sh(j) < m) m = sh(j); j += 1 }
+      sel.add(m)
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}
+
+/** lang_id(text) -> string */
+case class LangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"lang_id expects string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(TextOps.langId(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextOps.langId($c.toString()));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** sim_hash(text) -> long */
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sim_hash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"sim_hash expects string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(TextOps.simHash(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextOps.simHash($c.toString());")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** min_hash(text, k) -> array<long> (k from a foldable int literal) */
+case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "min_hash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.foldable &&
+      right.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("min_hash expects (string, int literal)")
+  override def nullSafeEval(t: Any, k: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextOps.minHash(t.asInstanceOf[UTF8String].toString, k.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.TextOps.minHash($t.toString(), $k, 3));")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** winnow_fp(text) -> array<long> (selected fingerprint set, sorted) */
+case class WinnowFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"winnow_fp expects string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      TextOps.winnowFingerprint(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.TextOps.winnowFingerprint($c.toString(), 4));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.ClipGen
 import graft.functions.GraftFunctions._
-import graft.operators.{Extraction, ExtractionSpec, FieldSpec}
+import graft.operators.{Extraction, ExtractionSpec, FieldSpec, Windows}
 
 /** The CEP-engine query surface over the synthesized clips table
   * (BASELINE.json input_hint shape), batch form — the streaming twins live
@@ -56,34 +56,21 @@ object ClipQueries {
 
     // Tumbling event-time windows keyed (codec, sr_hz) — the pagination
     // loop re-expressed as windowed aggregation (SURVEY.md §2.11 T2).
-    "c2_tumbling_counts" -> ((s, dir) => {
-      ClipGen.readClips(s, dir)
-        .groupBy(window(col("event_time"), "10 seconds"), col("codec"), col("sr_hz"))
-        .agg(count(lit(1)).as("n_clips"), sum(col("dur_ms")).as("sum_dur_ms"))
-        .select(unix_millis(col("window.start")).as("w_start_ms"),
-          col("codec"), col("sr_hz"), col("n_clips"), col("sum_dur_ms"))
-        .orderBy("w_start_ms", "codec", "sr_hz")
-    }),
+    // Shared plan builders (graft.operators.Windows) — the streaming jobs
+    // run the SAME logical plans with a watermark upstream.
+    "c2_tumbling_counts" -> ((s, dir) =>
+      Windows.tumblingCounts(ClipGen.readClips(s, dir))
+        .orderBy("w_start_ms", "codec", "sr_hz")),
 
     // Sliding windows (10s / 5s slide): each row lands in 2 windows.
-    "c3_sliding_counts" -> ((s, dir) => {
-      ClipGen.readClips(s, dir)
-        .groupBy(window(col("event_time"), "10 seconds", "5 seconds"), col("codec"))
-        .agg(count(lit(1)).as("n_clips"))
-        .select(unix_millis(col("window.start")).as("w_start_ms"),
-          col("codec"), col("n_clips"))
-        .orderBy("w_start_ms", "codec")
-    }),
+    "c3_sliding_counts" -> ((s, dir) =>
+      Windows.slidingCounts(ClipGen.readClips(s, dir))
+        .orderBy("w_start_ms", "codec")),
 
     // Session windows (30s gap) keyed by codec — batch session_window.
-    "c4_session_windows" -> ((s, dir) => {
-      ClipGen.readClips(s, dir)
-        .groupBy(session_window(col("event_time"), "30 seconds"), col("codec"))
-        .agg(count(lit(1)).as("n_clips"))
-        .select(unix_millis(col("session_window.start")).as("w_start_ms"),
-          col("codec"), col("n_clips"))
-        .orderBy("codec", "w_start_ms")
-    }),
+    "c4_session_windows" -> ((s, dir) =>
+      Windows.sessionCounts(ClipGen.readClips(s, dir))
+        .orderBy("codec", "w_start_ms")),
 
     // Codec-aware sample counting without decode (cheap stats path).
     "c5_pcm_stats" -> ((s, dir) => {
@@ -110,19 +97,17 @@ object ClipQueries {
         .orderBy("clip_id")
     }),
 
-    // Decode-dependent stats: PCM energy via the Catalyst decode_pcm
-    // expression + higher-order aggregate (no UDF, no RDD). Not SQL-
+    // Decode-dependent stats via the fused Catalyst pcm_rms expression
+    // (decode + reduce in one codegen'd pass — see graft.functions.PcmRms;
+    // the unfused decode_pcm + higher-order aggregate computes the same
+    // value ~10x slower and is covered by the test suite). Not SQL-
     // expressible in DuckDB (binary codec decode) -> rows-only check;
     // full verification happens in the sbt test suite vs reference PCM.
     "c7_decode_energy" -> ((s, dir) => {
       ClipGen.readClips(s, dir)
-        .withColumn("pcm", decode_pcm(col("bytes"), col("codec"), col("sr_hz")))
         .select(col("clip_id"), col("codec"),
-          size(col("pcm")).as("n_samples"),
-          round(
-            sqrt(aggregate(col("pcm"), lit(0.0d),
-              (acc, x) => acc + x.cast("double") * x.cast("double")) / size(col("pcm"))),
-            4).as("rms"))
+          pcm_sample_count(col("bytes"), col("codec")).as("n_samples"),
+          round(pcm_rms(col("bytes"), col("codec")), 4).as("rms"))
         .orderBy("clip_id")
     }))
 

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Windows
+
+/** The streaming CEP engine: clip stream -> decode/extract -> watermarked
+  * event-time windows -> exactly-once MERGE sink (ClipTable).
+  *
+  * Re-expresses the reference pipeline fetch->paginate->divide->parse->save
+  * (`/root/reference/scrape/scrape.go:306-333`) as a Structured Streaming
+  * DAG: the file source replaces fetch (S1/S5; `maxFilesPerTrigger` is the
+  * throttle analog of FETCH_DELAY), windows replace the pagination loop
+  * (T2), the stateful stream-stream join replaces details-following (J1),
+  * and ClipTable.merge replaces the idempotent Mongo upsert (K1/T9).
+  */
+object ClipStreamJob {
+
+  /** input_hint schema + generated lineage columns. */
+  val clipSchema: StructType = StructType(Seq(
+    StructField("clip_id", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("sr_hz", IntegerType, nullable = false),
+    StructField("dur_ms", IntegerType, nullable = false),
+    StructField("codec", StringType, nullable = false),
+    StructField("transcript", StringType, nullable = true),
+    StructField("person_idx", IntegerType, nullable = false),
+    StructField("event_time", TimestampType, nullable = false)))
+
+  val updateSchema: StructType = StructType(Seq(
+    StructField("clip_id", StringType, nullable = false),
+    StructField("transcript", StringType, nullable = true),
+    StructField("update_time", TimestampType, nullable = false)))
+
+  /** Read the clips table as a stream (file source over the Iceberg-style
+    * layout). `maxFilesPerTrigger` bounds micro-batch size — the rate
+    * throttle (S5). */
+  def readClipStream(spark: SparkSession, path: String,
+                     maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(clipSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+      .drop("p_codec", "p_bucket")
+
+  def readUpdateStream(spark: SparkSession, path: String,
+                       maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(updateSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Watermarked tumbling-window aggregation — the same logical plan as the
+    * batch query (Windows.tumblingCounts), plus the watermark. */
+  def tumblingCounts(clips: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    Windows.tumblingCounts(clips.withWatermark("event_time", watermark))
+
+  def sessionCounts(clips: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    Windows.sessionCounts(clips.withWatermark("event_time", watermark))
+
+  /** Stateful stream-stream LEFT OUTER join of the clip stream with the
+    * late transcript-update stream (J1 re-expression): equi-join on
+    * clip_id, time-bounded so state can be evicted by the watermark.
+    * Updates arrive a bounded delay after the clip (generator: +15 s). */
+  def joinUpdates(clips: DataFrame, updates: DataFrame,
+                  watermark: String = "30 seconds"): DataFrame = {
+    val u = updates
+      .withColumnRenamed("clip_id", "u_clip_id")
+      .withColumnRenamed("transcript", "u_transcript")
+      .withWatermark("update_time", watermark)
+    clips.withWatermark("event_time", watermark)
+      .join(u,
+        expr("""clip_id = u_clip_id AND
+                update_time >= event_time AND
+                update_time <= event_time + interval 60 seconds"""),
+        "leftOuter")
+      .select(col("clip_id"), col("codec"), col("sr_hz"), col("event_time"),
+        coalesce(col("u_transcript"), col("transcript")).as("transcript"),
+        col("u_transcript").isNotNull.as("updated"))
+  }
+
+  /** Run any streaming DataFrame into an exactly-once ClipTable MERGE with
+    * checkpoint-resume. Returns the started query. */
+  def runToTable(df: DataFrame, table: ClipTable, checkpointDir: String,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 outputMode: String = "append"): StreamingQuery =
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, batchId: Long) => table.merge(batch, batchId))
+      .start()
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+/** Per-batch metrics table (K8/A3 re-expression: the reference's task
+  * manifest `{Requests, Responses, Took}`, `/root/reference/scrape/
+  * scrape.go:257-268`, becomes a queryable metrics table): one JSONL row
+  * per micro-batch with rows, rates, state-store size and watermark lag.
+  * Readable back as a DataFrame via [[MetricsListener.read]].
+  */
+final class MetricsListener(path: String) extends StreamingQueryListener {
+  Files.createDirectories(Paths.get(path).getParent)
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit = synchronized {
+    val p = e.progress
+    val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+    val stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum
+    val watermark = Option(p.eventTime.get("watermark")).getOrElse("")
+    val line =
+      s"""{"query_id":"${p.id}","batch_id":${p.batchId},""" +
+        s""""timestamp":"${p.timestamp}","num_input_rows":${p.numInputRows},""" +
+        s""""input_rows_per_sec":${safe(p.inputRowsPerSecond)},""" +
+        s""""processed_rows_per_sec":${safe(p.processedRowsPerSecond)},""" +
+        s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
+        s""""watermark":"$watermark"}""" + "\n"
+    Files.write(Paths.get(path), line.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private def safe(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else d.toString
+}
+
+object MetricsListener {
+  def attach(spark: SparkSession, path: String): MetricsListener = {
+    val l = new MetricsListener(path)
+    spark.streams.addListener(l)
+    l
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

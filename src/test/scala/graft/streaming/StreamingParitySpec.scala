@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.fixtures.ClipGen
+import graft.operators.Windows
+
+/** North-rule invariant: the streaming engine must produce the reference's
+  * (= batch plan's) output rows under exactly-once for the same input
+  * stream + watermark. The stream runs the SAME logical plan via
+  * graft.operators.Windows with a watermark, sinks through the ClipTable
+  * MERGE, and must match batch bit-for-bit. */
+class StreamingParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val N = 240L
+
+  private lazy val inputDir: String = {
+    val dir = Files.createTempDirectory("clips-in").toString
+    // multiple time-ordered files => multiple micro-batches, watermark-safe
+    graft.TestSpark.writeTimeOrdered(ClipGen.clipsDf(spark, N), dir, 6)
+    dir
+  }
+
+  test("streaming tumbling windows == batch plan, exactly-once MERGE sink") {
+    val batchExpected = Windows.tumblingCounts(spark.read.parquet(inputDir))
+      .orderBy("w_start_ms", "codec", "sr_hz")
+      .collect().map(_.toSeq).toSeq
+
+    val tableDir = Files.createTempDirectory("sink").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val table = ClipTable(tableDir, Seq("w_start_ms", "codec", "sr_hz"), numBuckets = 4)
+
+    val clips = ClipStreamJob.readClipStream(spark, inputDir, maxFilesPerTrigger = 1)
+    val q = ClipStreamJob.runToTable(
+      ClipStreamJob.tumblingCounts(clips, "30 seconds"),
+      table, ckpt, Trigger.AvailableNow(), outputMode = "update")
+    q.awaitTermination(120000)
+
+    val got = table.read(spark)
+      .select("w_start_ms", "codec", "sr_hz", "n_clips", "sum_dur_ms")
+      .orderBy("w_start_ms", "codec", "sr_hz")
+      .collect().map(_.toSeq).toSeq
+    assert(got.size == batchExpected.size,
+      s"rows: stream=${got.size} batch=${batchExpected.size}")
+    assert(got == batchExpected)
+  }
+
+  test("windowed extraction golden rows: stream == batch, values ordered by clip_id") {
+    val spec = graft.queries.ClipQueries.cardsSpec
+    val extract = (df: org.apache.spark.sql.DataFrame) =>
+      Windows.windowedExtraction(graft.operators.Extraction(spec)(df))
+
+    val batchExpected = extract(spark.read.parquet(inputDir))
+      .orderBy("w_start_ms", "codec").collect().map(_.toSeq).toSeq
+
+    val tableDir = Files.createTempDirectory("sink2").toString
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    val table = ClipTable(tableDir, Seq("w_start_ms", "codec"), numBuckets = 4)
+    val clips = ClipStreamJob.readClipStream(spark, inputDir, maxFilesPerTrigger = 2)
+      .withWatermark("event_time", "30 seconds")
+    val q = ClipStreamJob.runToTable(extract(clips), table, ckpt,
+      Trigger.AvailableNow(), outputMode = "update")
+    q.awaitTermination(120000)
+
+    val got = table.read(spark)
+      .select("w_start_ms", "codec", "n_clips", "rows")
+      .orderBy("w_start_ms", "codec").collect().map(_.toSeq).toSeq
+    assert(got == batchExpected)
+  }
+
+  test("metrics listener emits a row per micro-batch with state + watermark") {
+    val metricsPath = Files.createTempDirectory("metrics").resolve("m.jsonl").toString
+    val l = MetricsListener.attach(spark, metricsPath)
+    try {
+      val tableDir = Files.createTempDirectory("sink3").toString
+      val ckpt = Files.createTempDirectory("ckpt3").toString
+      val table = ClipTable(tableDir, Seq("w_start_ms", "codec", "sr_hz"))
+      val clips = ClipStreamJob.readClipStream(spark, inputDir, maxFilesPerTrigger = 2)
+      val q = ClipStreamJob.runToTable(
+        ClipStreamJob.tumblingCounts(clips), table, ckpt,
+        Trigger.AvailableNow(), outputMode = "update")
+      q.awaitTermination(120000)
+      // listener is async — give it a beat
+      Thread.sleep(2000)
+      val m = MetricsListener.read(spark, metricsPath)
+      assert(m.count() >= 3) // 6 input files / 2 per trigger
+      val cols = m.columns.toSet
+      for (c <- Seq("batch_id", "num_input_rows", "state_rows", "watermark"))
+        assert(cols.contains(c), s"missing metric column $c")
+      assert(m.agg(sum(col("num_input_rows"))).head.getLong(0) == N)
+    } finally spark.streams.removeListener(l)
+  }
+}
