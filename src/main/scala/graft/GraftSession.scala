@@ -31,6 +31,9 @@ object GraftSession {
       .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: per-batch state commit uploads the delta,
+      // not a full RocksDB snapshot — cuts fixed per-micro-batch cost.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
 
   def create(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
     val s = builder(master, shufflePartitions, appName).getOrCreate()

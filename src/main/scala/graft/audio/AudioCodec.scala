@@ -171,6 +171,50 @@ object AudioCodec {
     if (n == 0) 0.0 else math.sqrt(acc / n)
   }
 
+  /** Fused decode + Goertzel filterbank: per-band signal energy at
+    * `nBands` evenly spaced center frequencies in (0, sr/2). One pass over
+    * the bytes, `nBands` Goertzel recurrences running in parallel, zero
+    * allocation beyond the output — the audio feature-extraction kernel of
+    * the training-data pipeline (and the CPU-heavy stage of the bench).
+    * Returns mean-square band energies (normalized by sample count). */
+  def bandEnergies(bytes: Array[Byte], codec: String, srHz: Int,
+                   nBands: Int = 8): Array[Double] = {
+    val n = sampleCount(bytes.length, codec)
+    val coeff = new Array[Double](nBands)
+    var b = 0
+    while (b < nBands) {
+      val f = (b + 0.5) * srHz / (2.0 * nBands) // centers in (0, sr/2)
+      coeff(b) = 2.0 * math.cos(2.0 * math.Pi * f / srHz)
+      b += 1
+    }
+    val s1 = new Array[Double](nBands)
+    val s2 = new Array[Double](nBands)
+    var i = 0
+    while (i < n) {
+      val x: Double = codec match {
+        case Pcm16 => (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort) / 32768.0
+        case Ulaw => ulawToLinear(bytes(i)) / 32768.0
+        case Alaw => alawToLinear(bytes(i)) / 32768.0
+        case other => throw new IllegalArgumentException(s"unknown codec: $other")
+      }
+      var b2 = 0
+      while (b2 < nBands) {
+        val s0 = x + coeff(b2) * s1(b2) - s2(b2)
+        s2(b2) = s1(b2); s1(b2) = s0
+        b2 += 1
+      }
+      i += 1
+    }
+    val out = new Array[Double](nBands)
+    b = 0
+    while (b < nBands) {
+      val e = s1(b) * s1(b) + s2(b) * s2(b) - coeff(b) * s1(b) * s2(b)
+      out(b) = if (n == 0) 0.0 else e / (n.toDouble * n.toDouble)
+      b += 1
+    }
+    out
+  }
+
   /** Signal-to-noise ratio in dB of `decoded` against reference `signal`. */
   def snrDb(signal: Array[Float], decoded: Array[Float]): Double = {
     require(signal.length == decoded.length,

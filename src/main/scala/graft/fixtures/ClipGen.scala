@@ -3,7 +3,6 @@ package graft.fixtures
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.audio.{AudioCodec, AudioSynth}
@@ -11,9 +10,10 @@ import graft.audio.{AudioCodec, AudioSynth}
 /** One row of the engine's input table — exactly the BASELINE.json
   * `input_hint` shape: (clip_id, bytes, sr_hz, dur_ms, codec, transcript).
   * `person_idx` ties the clip back to its fixture person; `event_time` is
-  * the derived deterministic event time (cumulative dur_ms offsets per
-  * (codec, sr_hz) key — computed at generation time, never in-stream, so
-  * every run and parallelism level sees identical timestamps).
+  * the derived deterministic event time (global dur_ms-accumulated clock
+  * over clip index divided by `Streams` overlapping speakers — computed at
+  * generation time, never in-stream, so every run and parallelism level
+  * sees identical timestamps).
   */
 final case class ClipRow(
     clip_id: String,
@@ -23,6 +23,16 @@ final case class ClipRow(
     codec: String,
     transcript: String,
     person_idx: Int)
+
+final case class TimedClipRow(
+    clip_id: String,
+    bytes: Array[Byte],
+    sr_hz: Int,
+    dur_ms: Int,
+    codec: String,
+    transcript: String,
+    person_idx: Int,
+    event_time: java.sql.Timestamp)
 
 final case class TranscriptUpdate(
     clip_id: String,
@@ -42,7 +52,18 @@ final case class TranscriptUpdate(
 object ClipGen {
 
   /** Bump to invalidate cached generated tables. */
-  val Version = 5
+  val Version = 6
+
+  /** Simulated concurrent speakers: event_time advances by dur_ms/Streams
+    * per clip, so the table models `Streams` overlapping clip streams. */
+  val Streams = 32
+
+  /** Time-ordered write slices: the table is written in `Slices` strictly
+    * increasing event-time ranges (strictly increasing file mtimes), so a
+    * file-stream replay sees a time-ordered stream — the north rule's
+    * "same input stream + watermark" presumes ordered arrival; max
+    * out-of-orderness is bounded by one slice span. */
+  val Slices = 8
 
   /** 16 buckets x 3 codecs = 48 leaf partitions -> enough file-level
     * parallelism for a 32-core scan even within one micro-batch; at real
@@ -66,6 +87,12 @@ object ClipGen {
 
   def durMsFor(h: Long): Int =
     200 + java.lang.Long.remainderUnsigned(h, 3801L).toInt // 200..4000 ms
+
+  /** dur_ms of clip `idx` without synthesizing audio (prefix-sum helper). */
+  def durOf(idx: Long): Int = {
+    val h = AudioSynth.mix64(0xC11F_5EEDL + idx)
+    durMsFor(AudioSynth.mix64(h + 3))
+  }
 
   def clipId(idx: Long): String = f"clip-$idx%08d"
 
@@ -107,19 +134,42 @@ object ClipGen {
     sf.map(s => math.max(100L, (s * perUnit).toLong)).getOrElse(500L)
   }
 
-  /** Base DataFrame of n clips with derived event_time (not yet written). */
+  /** Deterministic event time: global dur_ms-accumulated clock over clip
+    * index, divided by `Streams` (overlapping speakers). Computed with a
+    * distributed prefix-sum — stage 1 sums each contiguous index range,
+    * the tiny per-partition totals are prefixed on the driver, stage 2
+    * generates rows with exact offsets. O(n) work, O(P) driver state:
+    * holds at 10^12 rows where a global window function would not. */
   def clipsDf(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism,
       (n / 2000L).toInt).min(256)
-    val base = spark.range(0, n, 1, parts).map(i => clipRow(i)).toDF()
-    // event_time = base + cumsum(dur_ms) per (codec, sr_hz), ordered by
-    // clip_id — a generation-time window, deterministic by construction.
-    val w = Window.partitionBy($"codec", $"sr_hz").orderBy($"clip_id")
-    base.withColumn("offset_ms", sum($"dur_ms").over(w) - $"dur_ms")
-      .withColumn("event_time",
-        timestamp_millis(lit(EpochBase.toEpochMilli) + $"offset_ms"))
-      .drop("offset_ms")
+    val partSums = spark.range(0, n, 1, parts)
+      .mapPartitions { it =>
+        var first = -1L; var sum = 0L
+        it.foreach { i => if (first < 0) first = i; sum += durOf(i) }
+        if (first < 0) Iterator.empty else Iterator.single((first, sum))
+      }.collect().sortBy(_._1)
+    val baseOffsets = scala.collection.mutable.HashMap.empty[Long, Long]
+    var acc = 0L
+    partSums.foreach { case (first, sum) => baseOffsets(first) = acc; acc += sum }
+    val offsetsB = spark.sparkContext.broadcast(baseOffsets.toMap)
+    val epochMs = EpochBase.toEpochMilli
+    spark.range(0, n, 1, parts)
+      .mapPartitions { it =>
+        val buf = it.buffered
+        if (!buf.hasNext) Iterator.empty
+        else {
+          var prefix = offsetsB.value(buf.head)
+          buf.map { i =>
+            val r = clipRow(i)
+            val ts = new java.sql.Timestamp(epochMs + prefix / Streams)
+            prefix += r.dur_ms
+            TimedClipRow(r.clip_id, r.bytes, r.sr_hz, r.dur_ms, r.codec,
+              r.transcript, r.person_idx, ts)
+          }
+        }
+      }.toDF()
   }
 
   def updatesDf(spark: SparkSession, n: Long): DataFrame = {
@@ -138,6 +188,11 @@ object ClipGen {
 
   private def bucketCol = pmod(crc32(col("clip_id").cast("string")), lit(NumBuckets))
 
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.delete(_))
+
   /** Generate (or reuse cached) clips + updates tables for `sfDir`.
     * Returns (clipsPath, updatesPath). */
   def ensure(spark: SparkSession, sfDir: String,
@@ -151,13 +206,27 @@ object ClipGen {
     val want = s"v$Version n$n"
     val have = if (Files.exists(marker)) Files.readString(marker).trim else ""
     if (have != want) {
-      clipsDf(spark, n)
+      deleteDir(Paths.get(clipsPath))
+      val df = clipsDf(spark, n)
         .withColumn("p_codec", col("codec"))
         .withColumn("p_bucket", bucketCol)
-        .repartition(3 * NumBuckets, col("p_codec"), col("p_bucket"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("p_codec", "p_bucket")
-        .parquet(clipsPath)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // Time-ordered slices by clip-id range (= event-time range), each
+        // appended sequentially so file mtimes replay the stream in order.
+        val step = math.max(1L, (n + Slices - 1) / Slices)
+        var lo = 0L
+        while (lo < n) {
+          val hi = math.min(n, lo + step)
+          df.filter(col("clip_id") >= clipId(lo) && col("clip_id") < clipId(hi))
+            .repartition(3 * NumBuckets, col("p_codec"), col("p_bucket"))
+            .write.mode(SaveMode.Append)
+            .partitionBy("p_codec", "p_bucket")
+            .parquet(clipsPath)
+          Thread.sleep(1100) // distinct mtime seconds across slices
+          lo = hi
+        }
+      } finally df.unpersist()
       updatesDf(spark, n)
         .repartition(4)
         .write.mode(SaveMode.Overwrite).parquet(updatesPath)

@@ -97,6 +97,33 @@ case class PcmRms(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** `pcm_band_energies(bytes, codec, sr_hz) -> array<double>` — fused decode
+  * + 8-band Goertzel filterbank (see AudioCodec.bandEnergies). */
+case class PcmBandEnergies(first: Expression, second: Expression, third: Expression,
+    nBands: Int = 8) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_band_energies expects (binary, string, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "pcm_band_energies"
+  override def nullSafeEval(bytes: Any, codec: Any, sr: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.audio.AudioCodec.bandEnergies(bytes.asInstanceOf[Array[Byte]],
+        codec.asInstanceOf[UTF8String].toString, sr.asInstanceOf[Int], nBands))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, s) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.audio.AudioCodec.bandEnergies($b, $c.toString(), $s, $nBands));")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 object GraftFunctions {
   /** Expression -> Column bridge (Spark 4 classic API). */
   def toColumn(e: Expression): Column = Bridge.column(e)
@@ -111,7 +138,13 @@ object GraftFunctions {
   def pcm_rms(bytes: Column, codec: Column): Column =
     toColumn(PcmRms(toExpr(bytes), toExpr(codec)))
 
+  def pcm_band_energies(bytes: Column, codec: Column, srHz: Column,
+                        nBands: Int = 8): Column =
+    toColumn(PcmBandEnergies(toExpr(bytes), toExpr(codec), toExpr(srHz), nBands))
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
+  def rel_url(base: Column, rel: Column): Column =
+    toColumn(RelUrl(toExpr(base), toExpr(rel)))
   def sim_hash(text: Column): Column = toColumn(SimHash(toExpr(text)))
   def min_hash(text: Column, k: Column): Column =
     toColumn(MinHashSig(toExpr(text), toExpr(k)))
@@ -132,7 +165,10 @@ object GraftFunctions {
       es => PcmSampleCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_rms",
       es => PcmRms(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_band_energies",
+      es => PcmBandEnergies(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("rel_url", es => RelUrl(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sim_hash", es => SimHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("min_hash", es => MinHashSig(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fp", es => WinnowFingerprint(es.head), "scala_udf")

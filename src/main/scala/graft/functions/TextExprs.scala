@@ -54,6 +54,12 @@ object TextOps {
   def tokenize(text: String): Array[String] =
     text.trim.split("\\s+").filter(_.nonEmpty)
 
+  /** Resolve `rel` against `base` (java.net.URI semantics; malformed
+    * inputs pass `rel` through, like the reference's lenient handling). */
+  def relUrl(base: String, rel: String): String =
+    try new java.net.URI(base).resolve(rel).toString
+    catch { case _: Exception => rel }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (Charikar): per-token stable
@@ -169,6 +175,28 @@ object TextOps {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     out
   }
+}
+
+/** rel_url(base, rel) -> string — resolve a relative URL against a base
+  * (the reference's RelUrl, `/root/reference/utils/utils.go:41-53`, used
+  * for href/src/path attr resolution). null-safe; malformed inputs return
+  * the relative string unchanged (the reference logs and continues). */
+case class RelUrl(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "rel_url"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rel_url expects (string, string), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(base: Any, rel: Any): Any =
+    UTF8String.fromString(TextOps.relUrl(base.toString, rel.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextOps.relUrl($b.toString(), $r.toString()));")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
 }
 
 /** lang_id(text) -> string */

@@ -109,6 +109,50 @@ object ClipQueries {
           pcm_sample_count(col("bytes"), col("codec")).as("n_samples"),
           round(pcm_rms(col("bytes"), col("codec")), 4).as("rms"))
         .orderBy("clip_id")
+    }),
+
+    // Audio feature extraction: 8-band Goertzel filterbank energies per
+    // clip (fused decode+filterbank expression; rows-only — not SQL-
+    // expressible; spectral correctness covered by AudioCodecSpec).
+    "c10_band_energies" -> ((s, dir) => {
+      ClipGen.readClips(s, dir)
+        .withColumn("bands", pcm_band_energies(col("bytes"), col("codec"), col("sr_hz")))
+        .select(col("clip_id"), col("codec"), col("sr_hz"),
+          round(element_at(col("bands"), 1), 8).as("band1"),
+          round(element_at(col("bands"), 4), 8).as("band4"),
+          round(element_at(col("bands"), 8), 8).as("band8"))
+        .orderBy("clip_id")
+    }),
+
+    // Policy gate (S7 robots re-expression): broadcast deny-list anti-join
+    // runs BEFORE any expensive work — cheap predicate first.
+    "c8_policy_gate" -> ((s, dir) => {
+      import s.implicits._
+      val deny = Seq("Germany", "Brazil").toDF("country")
+      val withCountry = ClipGen.readClips(s, dir)
+        .withColumn("country",
+          regexp_extract(col("transcript"), "<country>([^<]*)</country>", 1))
+      graft.operators.Enrichment.policyGate(withCountry, deny, "country")
+        .groupBy(col("country")).agg(count(lit(1)).as("n_clips"))
+        .orderBy("country")
+    }),
+
+    // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
+    // country -> region, depth fixed at plan time; leaf level aggregates.
+    "c9_multihop" -> ((s, dir) => {
+      import s.implicits._
+      val regions = Seq(
+        ("United States", "AMERICAS"), ("Brazil", "AMERICAS"),
+        ("Canada", "AMERICAS"), ("Germany", "EMEA"), ("Japan", "APAC"))
+        .toDF("country", "region")
+      val withCountry = ClipGen.readClips(s, dir)
+        .withColumn("country",
+          regexp_extract(col("transcript"), "<country>([^<]*)</country>", 1))
+      graft.operators.Enrichment
+        .multiHop(withCountry, Seq((regions, "country", "country")))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n_clips"), countDistinct(col("country")).as("n_countries"))
+        .orderBy("region")
     }))
 
   val oracleSql: Map[String, String] = {
@@ -157,6 +201,22 @@ object ClipQueries {
            |  CASE WHEN u.clip_id IS NOT NULL THEN 1 ELSE 0 END AS updated,
            |  coalesce(regexp_extract(u.transcript, '<title>([^<]*)</title>', 1), '') AS details_title
            |FROM $clips c LEFT JOIN $updates u ON c.clip_id = u.clip_id
-           |ORDER BY c.clip_id""".stripMargin)
+           |ORDER BY c.clip_id""".stripMargin,
+      "c8_policy_gate" ->
+        s"""SELECT country, count(*) AS n_clips FROM (
+           |  SELECT regexp_extract(transcript, '<country>([^<]*)</country>', 1) AS country
+           |  FROM $clips)
+           |WHERE country NOT IN ('Germany', 'Brazil')
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "c9_multihop" ->
+        s"""SELECT region, count(*) AS n_clips, count(DISTINCT country) AS n_countries
+           |FROM (
+           |  SELECT country,
+           |    CASE WHEN country IN ('United States', 'Brazil', 'Canada') THEN 'AMERICAS'
+           |         WHEN country = 'Germany' THEN 'EMEA'
+           |         WHEN country = 'Japan' THEN 'APAC' END AS region
+           |  FROM (SELECT regexp_extract(transcript, '<country>([^<]*)</country>', 1) AS country
+           |        FROM $clips))
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -109,6 +109,18 @@ object RelationalQueries {
         .orderBy("op", "p_brand")
     }),
 
+    // JSON column parsing (the reference's to_json/from_json storage
+    // boundary, scrape.go:590 / encoders.go:257-262).
+    "q9_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // Multi-way join + grouped agg with date bucketing (shuffle on 1 key).
     "q8_supplier_part" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -167,6 +179,13 @@ object RelationalQueries {
         |UNION ALL
         |SELECT p_brand, 'large_only' AS op FROM (SELECT * FROM large EXCEPT SELECT * FROM small)
         |ORDER BY op, p_brand""".stripMargin,
+    "q9_json_props" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q8_supplier_part" ->
       """SELECT s_name,
         |  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2)::DOUBLE AS revenue,

@@ -40,6 +40,28 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioSynth.synth(7L, 8000, 1234).toSeq == sig.toSeq)
   }
 
+  test("band energies: a pure sine lands in its Goertzel band") {
+    val sr = 8000
+    val n = 8000
+    // band centers at (b+0.5)*sr/16: band 1 -> 750 Hz, band 6 -> 3250 Hz
+    for ((freq, band) <- Seq((750.0, 1), (3250.0, 6))) {
+      val sig = Array.tabulate(n)(i =>
+        (0.5 * math.sin(2 * math.Pi * freq * i / sr)).toFloat)
+      val e = AudioCodec.bandEnergies(AudioCodec.encode(sig, "pcm16"), "pcm16", sr)
+      val top = e.zipWithIndex.maxBy(_._1)._2
+      assert(top == band, s"freq=$freq => band $top, expected $band: ${e.mkString(",")}")
+    }
+  }
+
+  test("band energies deterministic across codecs (same signal shape)") {
+    val sig = AudioSynth.synth(3L, 8000, 4000)
+    val p = AudioCodec.bandEnergies(AudioCodec.encode(sig, "pcm16"), "pcm16", 8000)
+    val u = AudioCodec.bandEnergies(AudioCodec.encode(sig, "ulaw"), "ulaw", 8000)
+    p.zip(u).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= math.max(1e-6, 0.1 * math.max(a, b)), s"$a vs $b")
+    }
+  }
+
   test("ulaw/alaw byte-level involution sanity") {
     for (s <- Seq[Short](0, 1, -1, 100, -100, 1000, -1000, 32767, -32768)) {
       val u = AudioCodec.ulawToLinear(AudioCodec.linearToUlaw(s))
