@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Size
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.{DecodePcm, PcmSampleCount}
+
+/** Optimizer rule: elide full PCM decodes whose result is only counted.
+  *
+  * `size(decode_pcm(bytes, codec, sr))` materializes the whole float array
+  * just to read its length; the length is pure byte math
+  * (`pcm_sample_count`). On a 100 TB scan that's the difference between
+  * decoding every clip and not touching the samples at all. The analog of
+  * the reference's resource-blocking optimization — don't fetch what you
+  * won't parse (`/root/reference/fetch/fetcher.go:600-610`).
+  */
+object DecodeElision extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(DecodePcm(bytes, codec, _), legacy) if !legacy =>
+        PcmSampleCount(bytes, codec)
+    }
+}
+
+/** Session extensions: graft function registration + optimizer rules.
+  * Usable via `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * on spark-submit, or `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => DecodeElision)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("decode_pcm"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DecodePcm].getName, "decode_pcm"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DecodePcm(es(0), es(1), es(2))))
+  }
+}

@@ -24,12 +24,25 @@ final class MetricsListener(path: String) extends StreamingQueryListener {
     val stateRows = p.stateOperators.map(_.numRowsTotal).sum
     val stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum
     val watermark = Option(p.eventTime.get("watermark")).getOrElse("")
+    val durations = {
+      val it = p.durationMs.entrySet().iterator()
+      val sb = new StringBuilder("{")
+      var first = true
+      while (it.hasNext) {
+        val e = it.next()
+        if (!first) sb.append(',')
+        sb.append('"').append(e.getKey).append("\":").append(e.getValue)
+        first = false
+      }
+      sb.append('}').toString
+    }
     val line =
       s"""{"query_id":"${p.id}","batch_id":${p.batchId},""" +
         s""""timestamp":"${p.timestamp}","num_input_rows":${p.numInputRows},""" +
         s""""input_rows_per_sec":${safe(p.inputRowsPerSecond)},""" +
         s""""processed_rows_per_sec":${safe(p.processedRowsPerSecond)},""" +
         s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
+        s""""durations_ms":$durations,""" +
         s""""watermark":"$watermark"}""" + "\n"
     Files.write(Paths.get(path), line.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.fixtures.ClipGen
+import graft.functions.GraftFunctions._
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("DecodeElision rewrites size(decode_pcm(...)) to pcm_sample_count") {
+    val df = ClipGen.clipsDf(spark, 10)
+      .select(size(decode_pcm(col("bytes"), col("codec"), col("sr_hz"))).as("n"))
+    val before = df.queryExecution.optimizedPlan
+    val after = DecodeElision(before)
+    assert(before.toString.contains("decode_pcm"))
+    assert(!after.toString.contains("decode_pcm"), s"not elided:\n$after")
+    assert(after.toString.contains("pcm_sample_count"))
+  }
+
+  test("session with GraftExtensions applies the rule and injects SQL functions") {
+    // force a FRESH session (getOrCreate would return the shared one and
+    // ignore withExtensions) — restore the shared default afterwards
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val df = ClipGen.clipsDf(s2, 10)
+        .select(col("clip_id"),
+          size(decode_pcm(col("bytes"), col("codec"), col("sr_hz"))).as("n"),
+          pcm_sample_count(col("bytes"), col("codec")).as("want"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("pcm_sample_count"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("decode_pcm"))
+      df.collect().foreach(r => assert(r.getInt(1) == r.getInt(2)))
+      // SQL function injected too
+      assert(s2.sql("SELECT size(decode_pcm(X'0000', 'pcm16', 8000))")
+        .head().getInt(0) == 1)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+    }
+  }
+}

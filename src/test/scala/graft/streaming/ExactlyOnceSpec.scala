@@ -76,6 +76,49 @@ class ExactlyOnceSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("merge-on-read: idempotent per batchId, latest wins, compaction stable") {
+    val dir = Files.createTempDirectory("mor").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true)
+    t.merge(Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0)
+    t.merge(Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0) // replay: overwrite, no dupes
+    t.merge(Seq(("a", 10), ("c", 3)).toDF("k", "v"), 1)
+    def contents = t.read(spark).select("k", "v").as[(String, Int)].collect().toMap
+    assert(contents == Map("a" -> 10, "b" -> 2, "c" -> 3))
+    t.compact(spark)
+    assert(contents == Map("a" -> 10, "b" -> 2, "c" -> 3))
+    // post-compaction merges still work
+    t.merge(Seq(("b", 20)).toDF("k", "v"), 2)
+    assert(contents == Map("a" -> 10, "b" -> 20, "c" -> 3))
+  }
+
+  test("merge-on-read: kill after delta-commit, resume => batch-identical") {
+    val inputDir = Files.createTempDirectory("clips-in-mor").toString
+    graft.TestSpark.writeTimeOrdered(ClipGen.clipsDf(spark, 120), inputDir, 6)
+    val expected = Windows.tumblingCounts(spark.read.parquet(inputDir))
+      .orderBy("w_start_ms", "codec", "sr_hz").collect().map(_.toSeq).toSeq
+    val tableDir = Files.createTempDirectory("sink-mor").toString
+    val ckpt = Files.createTempDirectory("ckpt-mor").toString
+    val table = ClipTable(tableDir, Seq("w_start_ms", "codec", "sr_hz"),
+      numBuckets = 2, mergeOnRead = true)
+    val seen = new AtomicInteger(0)
+    def plan() = ClipStreamJob.tumblingCounts(
+      ClipStreamJob.readClipStream(spark, inputDir, maxFilesPerTrigger = 1))
+    val crashy = plan().writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        table.merge(df, id)
+        if (seen.incrementAndGet() == 2) throw new RuntimeException("injected crash")
+      }.start()
+    intercept[Exception] { crashy.awaitTermination(120000) }
+    val resumed = ClipStreamJob.runToTable(plan(), table, ckpt,
+      Trigger.AvailableNow(), outputMode = "update")
+    resumed.awaitTermination(120000)
+    val got = table.read(spark)
+      .select("w_start_ms", "codec", "sr_hz", "n_clips", "sum_dur_ms")
+      .orderBy("w_start_ms", "codec", "sr_hz").collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+
   test("same input at two parallelism levels => identical rows") {
     val in = ClipGen.clipsDf(spark, 150)
     val a = Windows.tumblingCounts(in.repartition(2))
