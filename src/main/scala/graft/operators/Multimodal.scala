@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.audio.AudioSynth.mix64
+
+/** Multimodal asset plumbing: opaque `binary` payloads + typed metadata,
+  * processed in partition-batches.
+  *
+  * Audio is this engine's REAL modality (native decode/filterbank
+  * expressions in graft.functions). Image and video transforms follow the
+  * same shape but their actual codecs are STUBBED behind deterministic
+  * fakes (no image/video libraries exist in this environment) — the Spark
+  * plumbing (schema, batching, partition-parallel transform, metadata
+  * handling) is real and tested, and a real decoder drops into
+  * [[MediaKernels]] without touching the plan.
+  *
+  * The transform runs via `mapPartitions` on a typed Dataset — the Scala
+  * analog of `mapInPandas`: one JVM-side batch per partition, no per-row
+  * UDF dispatch.
+  */
+object Multimodal {
+
+  final case class MediaAsset(
+      asset_id: String,
+      kind: String,           // "image" | "video" | "audio"
+      bytes: Array[Byte],
+      width: Int,             // images/video
+      height: Int,
+      n_frames: Int,          // video (1 for image)
+      codec: String)
+
+  final case class MediaFeature(
+      asset_id: String,
+      kind: String,
+      feature: Array[Float],  // fixed-size feature vector
+      out_width: Int,
+      out_height: Int,
+      n_sampled_frames: Int)
+
+  /** STUB decode kernels — deterministic fakes keyed by content hash.
+    * Replace these bodies with real codec calls (javax.imageio / jcodec /
+    * ffmpeg bindings) when the libraries are available; signatures and
+    * the surrounding plan stay unchanged. */
+  object MediaKernels {
+    /** ??? in spirit: a real image decode is unavailable here. The fake
+      * "decodes" to a deterministic pseudo-pixel stream. */
+    def decodeImageStub(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+      val seed = bytes.foldLeft(0xBEEFL)((a, b) => mix64(a ^ (b & 0xFFL)))
+      Array.tabulate(math.min(64, w * h))(i =>
+        (java.lang.Long.remainderUnsigned(mix64(seed + i), 256L)) / 255.0f)
+    }
+
+    /** Resize stub: averages the fake pixel stream into the target grid. */
+    def resizeStub(pixels: Array[Float], outW: Int, outH: Int): Array[Float] = {
+      val out = new Array[Float](math.min(64, outW * outH))
+      var i = 0
+      while (i < out.length) { out(i) = pixels(i % pixels.length); i += 1 }
+      out
+    }
+
+    /** Frame-sample stub: picks every `stride`-th deterministic frame
+      * signature from the byte stream. */
+    def sampleFramesStub(bytes: Array[Byte], nFrames: Int, stride: Int): Array[Long] =
+      (0 until nFrames by stride).map(f =>
+        mix64(bytes.length.toLong * 31 + f)).toArray
+  }
+
+  /** Partition-batched feature extraction over a media asset table. */
+  def extractFeatures(assets: Dataset[MediaAsset], outW: Int = 8, outH: Int = 8,
+                      frameStride: Int = 4): Dataset[MediaFeature] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        a.kind match {
+          case "audio" =>
+            val bands = graft.audio.AudioCodec.bandEnergies(a.bytes, a.codec, 8000, 8)
+            MediaFeature(a.asset_id, a.kind, bands.map(_.toFloat), 0, 0, 0)
+          case "image" =>
+            val px = MediaKernels.decodeImageStub(a.bytes, a.width, a.height)
+            MediaFeature(a.asset_id, a.kind,
+              MediaKernels.resizeStub(px, outW, outH), outW, outH, 1)
+          case "video" =>
+            val frames = MediaKernels.sampleFramesStub(a.bytes, a.n_frames, frameStride)
+            MediaFeature(a.asset_id, a.kind,
+              frames.map(f => (java.lang.Long.remainderUnsigned(f, 1000L)) / 1000.0f),
+              a.width, a.height, frames.length)
+          case other => throw new IllegalArgumentException(s"unknown kind: $other")
+        }
+      }
+    }
+  }
+
+  /** Deterministic fake asset table for tests/demos. */
+  def syntheticAssets(spark: org.apache.spark.sql.SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val h = mix64(0xA55E7L + i)
+      val kind = Seq("image", "video", "audio")(
+        java.lang.Long.remainderUnsigned(h, 3L).toInt)
+      val bytes =
+        if (kind == "audio")
+          graft.audio.AudioCodec.encode(
+            graft.audio.AudioSynth.synth(h, 8000, 800), "ulaw")
+        else Array.tabulate(256)(j => mix64(h + j).toByte)
+      MediaAsset(f"asset-$i%05d", kind, bytes,
+        width = 64, height = 48,
+        n_frames = if (kind == "video") 32 else 1,
+        codec = if (kind == "audio") "ulaw" else "stub")
+    }
+  }
+}
