@@ -96,12 +96,38 @@ object Extraction {
 
   /** Apply a full spec: divide + project every `{field}_{attr}` column.
     * Blocks where ALL fields are empty are dropped (D2 semantics,
-    * `scrape/scrape.go:541-547`). */
-  def apply(spec: ExtractionSpec)(df: DataFrame): DataFrame = {
+    * `scrape/scrape.go:541-547`).
+    *
+    * `fused = true` (default) extracts every field in ONE pass over each
+    * block via the ExtractCardFields expression; `fused = false` keeps the
+    * composed regex plan (one traversal per field-attr) — the two are
+    * parity-tested against each other in FusedExtractSpec. */
+  def apply(spec: ExtractionSpec, fused: Boolean = true)(df: DataFrame): DataFrame = {
     spec.validate()
     val divided = divide(df)
-    val cols = for (f <- spec.fields; a <- f.attrs) yield attrColumn(col("block"), f, a)
-    val out = divided.select((df.columns.map(col).toSeq :+ col("block")) ++ cols: _*)
+    val out =
+      if (!fused) {
+        val cols = for (f <- spec.fields; a <- f.attrs)
+          yield attrColumn(col("block"), f, a)
+        divided.select((df.columns.map(col).toSeq :+ col("block")) ++ cols: _*)
+      } else {
+        val ex = graft.functions.GraftFunctions.toColumn(
+          ExtractCardFields(graft.functions.GraftFunctions.toExpr(col("block")), spec.fields))
+        // explode(array(...)) is a generator barrier: project collapsing
+        // cannot duplicate the (single-pass) extraction per output column.
+        val once = divided.select(
+          (df.columns.map(col).toSeq :+ col("block")) :+
+            explode(array(ex)).as("_ex"): _*)
+        val cols = for (f <- spec.fields; a <- f.attrs) yield {
+          val n = s"${f.name}_$a"
+          val raw = col("_ex").getField(n)
+          val filtered =
+            if (f.filters.isEmpty) raw
+            else transform(raw, e => DfkFilters.chain(f.filters)(e))
+          filtered.as(n)
+        }
+        once.select((df.columns.map(col).toSeq :+ col("block")) ++ cols: _*)
+      }
     val anyMatch = spec.fieldNames.map(n => size(col(n)) > 0).reduce(_ || _)
     out.filter(anyMatch).drop("block")
   }
