@@ -124,6 +124,21 @@ object ClipQueries {
         .orderBy("clip_id")
     }),
 
+    // Geo hierarchy rollup — the reference's country -> city -> persons
+    // drill-down (`testserver/main.go:467-497`, A4) as a ROLLUP aggregate.
+    "c11_geo_rollup" -> ((s, dir) => {
+      ClipGen.readClips(s, dir)
+        .withColumn("country",
+          regexp_extract(col("transcript"), "<country>([^<]*)</country>", 1))
+        .withColumn("city",
+          regexp_extract(col("transcript"), "<city>([^<]*)</city>", 1))
+        .rollup(col("country"), col("city"))
+        .agg(count(lit(1)).as("n_clips"))
+        .select(coalesce(col("country"), lit("ALL")).as("country"),
+          coalesce(col("city"), lit("ALL")).as("city"), col("n_clips"))
+        .orderBy("country", "city")
+    }),
+
     // Policy gate (S7 robots re-expression): broadcast deny-list anti-join
     // runs BEFORE any expensive work — cheap predicate first.
     "c8_policy_gate" -> ((s, dir) => {
@@ -202,6 +217,15 @@ object ClipQueries {
            |  coalesce(regexp_extract(u.transcript, '<title>([^<]*)</title>', 1), '') AS details_title
            |FROM $clips c LEFT JOIN $updates u ON c.clip_id = u.clip_id
            |ORDER BY c.clip_id""".stripMargin,
+      "c11_geo_rollup" ->
+        s"""SELECT coalesce(country, 'ALL') AS country, coalesce(city, 'ALL') AS city,
+           |  count(*) AS n_clips
+           |FROM (
+           |  SELECT regexp_extract(transcript, '<country>([^<]*)</country>', 1) AS country,
+           |         regexp_extract(transcript, '<city>([^<]*)</city>', 1) AS city
+           |  FROM $clips)
+           |GROUP BY ROLLUP(country, city)
+           |ORDER BY 1, 2""".stripMargin,
       "c8_policy_gate" ->
         s"""SELECT country, count(*) AS n_clips FROM (
            |  SELECT regexp_extract(transcript, '<country>([^<]*)</country>', 1) AS country
