@@ -121,6 +121,20 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Correlated aggregate (orders above the customer's own average) —
+    // expressed shuffle-once via a window, with exact decimal arithmetic
+    // (price * n > sum avoids engine-dependent double averaging).
+    "q10_above_cust_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .withColumn("sum_p", sum(col("o_totalprice").cast("decimal(38,4)")).over(w))
+        .withColumn("n_p", count(lit(1)).over(w))
+        .filter(col("o_totalprice").cast("decimal(38,4)") * col("n_p") > col("sum_p"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_above"))
+        .orderBy("o_custkey")
+    }),
+
     // Multi-way join + grouped agg with date bucketing (shuffle on 1 key).
     "q8_supplier_part" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -179,6 +193,14 @@ object RelationalQueries {
         |UNION ALL
         |SELECT p_brand, 'large_only' AS op FROM (SELECT * FROM large EXCEPT SELECT * FROM small)
         |ORDER BY op, p_brand""".stripMargin,
+    "q10_above_cust_avg" ->
+      """SELECT o_custkey, count(*) AS n_above FROM (
+        |  SELECT o_custkey, o_totalprice,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,4))) OVER (PARTITION BY o_custkey) AS sum_p,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_p
+        |  FROM orders)
+        |WHERE CAST(o_totalprice AS DECIMAL(38,4)) * n_p > sum_p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_json_props" ->
       """SELECT event_type,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
