@@ -61,7 +61,7 @@ object Extraction {
   /** All outer elements for `tag` inside a block, as array<string>. */
   def elements(block: Column, tag: String): Column =
     regexp_extract_all(block,
-      lit(s"(<${quote(tag)}(?:\\s[^>]*)?>.*?</${quote(tag)}>)"), lit(1))
+      lit(s"(?s)(<${quote(tag)}(?:\\s[^>]*)?>.*?</${quote(tag)}>)"), lit(1))
 
   /** Compile one (field, attr) to a Column over a `block` string column.
     * Always `array<string>` (fixed schema; 0 matches -> empty array). */
@@ -88,7 +88,7 @@ object Extraction {
     * (common-ancestor fallback). Dropping block-less rows reproduces D2. */
   def divide(df: DataFrame, transcriptCol: String = "transcript"): DataFrame = {
     val blocks = regexp_extract_all(col(transcriptCol),
-      lit("(<card(?:\\s[^>]*)?>.*?</card>)"), lit(1))
+      lit("(?s)(<card(?:\\s[^>]*)?>.*?</card>)"), lit(1))
     df.withColumn("block",
         explode(when(size(blocks) > 0, blocks)
           .otherwise(array(col(transcriptCol)))))
