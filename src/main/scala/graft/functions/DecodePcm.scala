@@ -169,6 +169,8 @@ object GraftFunctions {
       es => PcmBandEnergies(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rel_url", es => RelUrl(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_attr",
+      es => graft.operators.ExtractAttr(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("sim_hash", es => SimHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("min_hash", es => MinHashSig(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fp", es => WinnowFingerprint(es.head), "scala_udf")

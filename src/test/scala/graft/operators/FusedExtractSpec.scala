@@ -61,6 +61,20 @@ class FusedExtractSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("extract_attr SQL function matches the spec-compiled extraction") {
+    graft.functions.GraftFunctions.register(spark)
+    Persons.all.take(10).map(p => (p.idx, Persons.transcript(p)))
+      .toDF("id", "transcript").createOrReplaceTempView("tv")
+    val rows = spark.sql(
+      """SELECT id, extract_attr(transcript, 'phone', 'text') AS phones,
+        |       extract_attr(transcript, 'name', 'href')[0] AS href
+        |FROM tv ORDER BY id""".stripMargin).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](1) == Persons.all(i).phones)
+      assert(r.getString(2) == s"/person/${i + 1}")
+    }
+  }
+
   test("scan collects values in document order") {
     val got = FusedExtract.scan(
       "<phone>A</phone><x/><phone>B</phone><phone>C</phone>",
