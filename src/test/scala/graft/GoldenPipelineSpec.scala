@@ -40,6 +40,23 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(got == golden)
   }
 
+  test("cards payload end-to-end XML golden with entity escaping") {
+    val clips = ClipGen.clipsDf(spark, 3).select("clip_id", "person_idx", "transcript")
+    val out = Extraction(spec)(clips)
+      .select(col("clip_id"), col("Name_text"), col("Phones_text"))
+      .orderBy("clip_id")
+    val path = Files.createTempDirectory("golden").resolve("result.xml").toString
+    DfkEncoders.encode(out, path, "xml")
+    val got = Files.readString(java.nio.file.Paths.get(path))
+    val golden = "<root>" + (0 until 3).map { i =>
+      val p = Persons.all(i % Persons.N)
+      val phones = p.phones.map(ph => s"<Phones_text>$ph</Phones_text>").mkString
+      s"<row><clip_id>${ClipGen.clipId(i)}</clip_id>" +
+        s"<Name_text>${p.name}</Name_text>$phones</row>"
+    }.mkString + "</root>"
+    assert(got == golden)
+  }
+
   test("cards payload end-to-end CSV golden with array ; joins") {
     val clips = ClipGen.clipsDf(spark, 6).select("clip_id", "person_idx", "transcript")
     val out = Extraction(spec)(clips)
