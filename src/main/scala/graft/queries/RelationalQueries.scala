@@ -135,6 +135,17 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }),
 
+    // Exact interpolated percentiles (order statistics — deterministic at
+    // any parallelism, unlike double sums).
+    "q11_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Multi-way join + grouped agg with date bucketing (shuffle on 1 key).
     "q8_supplier_part" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -193,6 +204,12 @@ object RelationalQueries {
         |UNION ALL
         |SELECT p_brand, 'large_only' AS op FROM (SELECT * FROM large EXCEPT SELECT * FROM small)
         |ORDER BY op, p_brand""".stripMargin,
+    "q11_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_above_cust_avg" ->
       """SELECT o_custkey, count(*) AS n_above FROM (
         |  SELECT o_custkey, o_totalprice,
