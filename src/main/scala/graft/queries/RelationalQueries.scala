@@ -135,6 +135,20 @@ object RelationalQueries {
         .orderBy("o_custkey")
     }),
 
+    // Temporal bucketing: calendar-month revenue rollup (date_trunc +
+    // extract; partition-pruning-shaped predicate on the scan).
+    "q12_monthly_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_orderstatus"))
+        .agg(dround(dsum(col("o_totalprice"))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(unix_timestamp(col("month")).as("month_start"),
+          col("o_orderstatus"), col("revenue"), col("n_orders"))
+        .orderBy("month_start", "o_orderstatus")
+    }),
+
     // Exact interpolated percentiles (order statistics — deterministic at
     // any parallelism, unlike double sums).
     "q11_percentiles" -> ((s, dir) => {
@@ -204,6 +218,13 @@ object RelationalQueries {
         |UNION ALL
         |SELECT p_brand, 'large_only' AS op FROM (SELECT * FROM large EXCEPT SELECT * FROM small)
         |ORDER BY op, p_brand""".stripMargin,
+    "q12_monthly_revenue" ->
+      """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
+        |  o_orderstatus,
+        |  round(sum(CAST(o_totalprice AS DECIMAL(38,4))), 2)::DOUBLE AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q11_percentiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS p50,
