@@ -142,8 +142,14 @@ object AudioCodec {
   }
 
   /** Number of samples encoded in `bytes` for `codec` (no decode needed). */
-  def sampleCount(nBytes: Int, codec: String): Int =
-    if (codec == Pcm16) nBytes / 2 else nBytes
+  /** Throws on unknown codecs like decode/encode do — the DecodeElision
+    * optimizer rule rewrites size(decode_pcm(...)) to pcm_sample_count(...),
+    * and an optimization must not change error semantics. */
+  def sampleCount(nBytes: Int, codec: String): Int = codec match {
+    case Pcm16 => nBytes / 2
+    case Ulaw | Alaw => nBytes
+    case other => throw new IllegalArgumentException(s"unknown codec: $other")
+  }
 
   /** Fused decode + RMS — no intermediate float array (hot-path friendly:
     * one pass over the bytes, zero allocation). */

@@ -155,6 +155,8 @@ object GraftFunctions {
     toColumn(QCosineSim(toExpr(a), toExpr(b)))
   def vec_lsh_bucket(v: Column, nBits: Column): Column =
     toColumn(VecLshBucket(toExpr(v), toExpr(nBits)))
+  def vec_lsh_buckets(v: Column, nBits: Column, nTables: Column): Column =
+    toColumn(VecLshBuckets(toExpr(v), toExpr(nBits), toExpr(nTables)))
 
   /** Register graft functions for SQL use in this session. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -177,5 +179,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("qcosine_sim", es => QCosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_lsh_bucket", es => VecLshBucket(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_lsh_buckets",
+      es => VecLshBuckets(es(0), es(1), es(2)), "scala_udf")
   }
 }

@@ -74,6 +74,36 @@ object VectorOps {
     }
     bucket
   }
+
+  /** Multi-table hyperplane LSH: `nTables` independent tables of `nBits`
+    * hyperplanes each (the standard amplification trick — OR across tables
+    * boosts recall, AND within a table keeps per-table buckets selective).
+    * Table t's hyperplanes are seeded disjointly from table 0's; table 0
+    * equals `hyperplaneBucket`. Returns one packed bucket code per table. */
+  def hyperplaneBuckets(v: ArrayData, nBits: Int, nTables: Int): Array[Int] = {
+    val dim = v.numElements()
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0
+      var b = 0
+      while (b < nBits) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          val h = graft.audio.AudioSynth.mix64((t.toLong * 64 + b) * 1000003L + i)
+          val w = (h >> 11).toDouble / (1L << 52).toDouble
+          acc += w * v.getFloat(i)
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
 }
 
 private[functions] trait FloatVecBinary extends BinaryExpression {
@@ -108,6 +138,31 @@ case class QCosineSim(left: Expression, right: Expression) extends FloatVecBinar
       s"${ev.value} = graft.functions.VectorOps.qcosine($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
+}
+
+/** vec_lsh_buckets(array<float>, nBits, nTables) -> array<int> — one packed
+  * hyperplane-bucket code per LSH table (multi-table amplification). */
+case class VecLshBuckets(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_lsh_buckets"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType)
+        if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"vec_lsh_buckets expects (array<float>, int literal, int literal), got ($a, $b, $c)")
+    }
+  override def nullSafeEval(v: Any, nBits: Any, nTables: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      VectorOps.hyperplaneBuckets(v.asInstanceOf[ArrayData],
+        nBits.asInstanceOf[Int], nTables.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b, t) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.VectorOps.hyperplaneBuckets($v, $b, $t));")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
 /** vec_lsh_bucket(array<float>, nBits) -> int */

@@ -54,6 +54,29 @@ object TextOps {
   def tokenize(text: String): Array[String] =
     text.trim.split("\\s+").filter(_.nonEmpty)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Oracle-portable 64-bit string hash: bit-identical to DuckDB's
+    * `md5_number_lower(s)` (md5 digest bytes 8..15, little-endian, as
+    * UBIGINT — carried here in a signed Long with the same bit pattern).
+    * Used wherever hash VALUES are part of an oracled output (simhash
+    * votes, winnowing fingerprints); pair it with UNSIGNED comparisons so
+    * orderings match DuckDB's UBIGINT. The throughput-oriented paths
+    * (minhash shingles, jaccard) keep the faster splitmix hash64 — their
+    * oracles compare set overlap, not hash values. */
+  def portableHash64(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+    h
+  }
+
   /** Resolve `rel` against `base` (java.net.URI semantics; malformed
     * inputs pass `rel` through, like the reference's lenient handling). */
   def relUrl(base: String, rel: String): String =
@@ -63,11 +86,13 @@ object TextOps {
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (Charikar): per-token stable
-    * hash votes per bit; sign of the vote sum forms the signature. */
+    * hash votes per bit; sign of the vote sum forms the signature. Token
+    * hash is the oracle-portable md5 lower half, so the full signature is
+    * reproducible in DuckDB SQL (see DocQueries d3/t2 oracles). */
   def simHash(text: String): Long = {
     val votes = new Array[Int](64)
     for (t <- tokenize(text.toLowerCase)) {
-      val h = hash64(t)
+      val h = portableHash64(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -151,29 +176,57 @@ object TextOps {
     }
   }
 
+  /** Word 3-gram shingle hashes with the ORACLE-PORTABLE hash (winnowing
+    * emits the hash values themselves, so they must be reproducible in
+    * DuckDB — md5_number_lower over the joined shingle words). */
+  def portableShingleHashes(text: String, n: Int = 3): Array[Long] = {
+    val toks = tokenize(text.toLowerCase)
+    if (toks.length < n) {
+      if (toks.isEmpty) Array.empty else Array(portableHash64(toks.mkString(" ")))
+    } else {
+      val out = new Array[Long](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        out(i) = portableHash64(toks.slice(i, i + n).mkString(" "))
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Winnowing fingerprint set (Schleimer et al., MOSS): the distinct
     * minimum shingle hash of each sliding window of `w` — a small edit
     * changes only the windows that cover it, so two near-duplicate
     * documents share most selected fingerprints (similarity = overlap of
-    * the sets). Returned sorted for deterministic output. */
+    * the sets). Hashes are oracle-portable (md5 lower half) and ALL
+    * comparisons are unsigned so mins/sort match DuckDB's UBIGINT
+    * semantics; returned sorted (unsigned) for deterministic output. */
   def winnowFingerprint(text: String, w: Int = 4): Array[Long] = {
-    val sh = shingleHashes(text, 3)
+    val sh = portableShingleHashes(text, 3)
+    def uLess(a: Long, b: Long): Boolean = java.lang.Long.compareUnsigned(a, b) < 0
     if (sh.isEmpty) return Array.empty
-    if (sh.length <= w) return Array(sh.min)
-    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (sh.length <= w) return Array(sh.reduce((a, b) => if (uLess(a, b)) a else b))
+    val sel = new scala.collection.mutable.HashSet[Long]()
     var i = 0
     while (i + w <= sh.length) {
-      var m = Long.MaxValue
-      var j = i
-      while (j < i + w) { if (sh(j) < m) m = sh(j); j += 1 }
+      var m = sh(i)
+      var j = i + 1
+      while (j < i + w) { if (uLess(sh(j), m)) m = sh(j); j += 1 }
       sel.add(m)
       i += 1
     }
-    val out = new Array[Long](sel.size)
-    val it = sel.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    out
+    val out = sel.toArray
+    java.util.Arrays.sort(out)
+    // signed sort puts negatives (unsigned-LARGER) first; rotate them to
+    // the back => unsigned ascending order
+    val nNeg = out.count(_ < 0)
+    if (nNeg == 0 || nNeg == out.length) out
+    else {
+      val res = new Array[Long](out.length)
+      System.arraycopy(out, nNeg, res, 0, out.length - nNeg)
+      System.arraycopy(out, 0, res, out.length - nNeg, nNeg)
+      res
+    }
   }
 }
 

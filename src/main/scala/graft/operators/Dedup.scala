@@ -34,33 +34,41 @@ object Dedup {
     * bands of r rows; same band-hash => candidate. Returns (id_a, id_b)
     * with id_a < id_b, plus the estimated and exact similarities. */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
-                 k: Int = 32, bands: Int = 8): DataFrame = {
+                 k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      min_hash(col(textCol), lit(k)).as("sig"))
-    val banded = sig.select(col("id"), col("text"),
+    // Band on (id, bhash) ONLY — document text must never ride the LSH
+    // candidate shuffle (at 100 TB that is `bands`× copies of the corpus
+    // through one exchange); texts are joined back by id afterwards.
+    val banded = df
+      .select(col(idCol).as("id"), min_hash(col(textCol), lit(k)).as("sig"))
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bhash")))
-    val a = banded.select(col("band"), col("bhash"),
-      col("id").as("id_a"), col("text").as("text_a"))
-    val b = banded.select(col("band"), col("bhash"),
-      col("id").as("id_b"), col("text").as("text_b"))
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
     a.join(b, Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
-  /** MinHash-LSH near-dup detection with exact n-gram-Jaccard verification
-    * (verification touches only LSH candidates). */
+  /** MinHash-LSH near-dup detection with exact n-gram-Jaccard verification.
+    * Verification touches only the deduplicated LSH candidate PAIRS: texts
+    * are rehydrated by two id-joins after the candidate set is distinct, so
+    * the only exchanges carrying text are keyed by id (size O(corpus)), not
+    * by band (size O(corpus x bands)). */
   def nearDupJaccard(df: DataFrame, textCol: String, idCol: String,
-                     threshold: Double = 0.7, k: Int = 32, bands: Int = 8): DataFrame = {
+                     threshold: Double = 0.7, k: Int = 32, bands: Int = 16): DataFrame = {
     val jac = udf((a: String, b: String) => graft.functions.TextOps.jaccard(a, b))
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     minhashLsh(df, textCol, idCol, k, bands)
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", jac(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * 1e4).cast("long").as("jaccard_x1e4"))
   }
 
   /** SimHash near-dup: pairs within `maxHamming` of each other. Candidate
@@ -77,28 +85,39 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    val ham = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), ham(col("sig_a"), col("sig_b")).as("hamming"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup via quantized cosine over hyperplane-LSH buckets:
-    * only same-bucket pairs are scored (bucket count 2^nBits bounds the
-    * join fan-out); exact for same-bucket pairs, approximate overall. */
+  /** Embedding near-dup via quantized cosine over MULTI-TABLE hyperplane-
+    * LSH buckets: `nTables` independent tables of `nBits` hyperplanes;
+    * candidates = pairs sharing a bucket in ANY table (OR-amplified recall,
+    * AND-selective per-table buckets). Only (id, table, bucket) rides the
+    * candidate shuffle — vectors are rehydrated by id AFTER the candidate
+    * pair set is distinct, then scored exactly with the quantized cosine.
+    * At 2^nBits buckets/table the scored-pair count is ~nTables·n²/2^nBits
+    * in expectation — never all-pairs. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       threshold: Double = 0.90, nBits: Int = 8): DataFrame = {
-    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      vec_lsh_bucket(col(vecCol), lit(nBits)).as("bucket"))
-    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+                       threshold: Double = 0.90, nBits: Int = 8,
+                       nTables: Int = 16): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs.select(col("id"),
+      posexplode(vec_lsh_buckets(col("v"), lit(nBits), lit(nTables)))
+        .as(Seq("table", "bucket")))
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos", qcosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), floor(col("cos") * 1e6).as("cos_x1e6"))
-      .distinct()
   }
 }

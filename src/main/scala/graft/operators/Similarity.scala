@@ -37,20 +37,22 @@ object Similarity {
         floor(col("score") * 1e6).as("score_x1e6"))
   }
 
-  /** LSH-bucketed ANN with multi-probe: each query probes its own bucket
-    * plus every bucket at hamming distance 1 in the bucket code (the
-    * standard multi-probe trick — recall of several independent tables for
-    * the storage cost of one). Scored candidate fraction ~= (nBits+1)/2^nBits. */
+  /** LSH-bucketed ANN with multi-probe: each query probes every bucket
+    * within hamming distance `radius` of its own bucket code (the standard
+    * multi-probe trick — recall of several independent tables for the
+    * storage cost of one). Scored candidate fraction ~= sum_{i<=radius}
+    * C(nBits,i) / 2^nBits. The corpus side is never re-shuffled per probe —
+    * only the (tiny) broadcast query set fans out. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 6,
+             radius: Int = 1,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       vec_lsh_bucket(col(vecCol), lit(nBits)).as("bucket0"))
-    // probes: exact bucket + single-bit flips (all distinct => no dup pairs)
+    // probes: all bucket codes within `radius` bit flips (distinct by
+    // construction => no duplicate candidate pairs)
     val q = qBase.select(col("query_id"), col("qv"),
-      explode(transform(sequence(lit(0), lit(nBits)),
-        i => when(i === 0, col("bucket0"))
-          .otherwise(col("bucket0").bitwiseXOR(
-            pow(lit(2.0), (i - 1).cast("double")).cast("int")))))
+      explode(filter(sequence(lit(0), lit((1 << nBits) - 1)),
+        c => bit_count(c.bitwiseXOR(col("bucket0"))) <= radius))
         .as("bucket"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       vec_lsh_bucket(col(vecCol), lit(nBits)).as("bucket"))
@@ -58,6 +60,39 @@ object Similarity {
       .orderBy(col("score").desc, col("cand_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", qcosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        floor(col("score") * 1e6).as("score_x1e6"))
+  }
+
+  /** Multi-TABLE LSH ANN (the scale path): `nTables` independent
+    * hyperplane tables of `nBits` each; a candidate is scored iff it shares
+    * a bucket with the query in ANY table (OR-amplified recall — the same
+    * trick as banded MinHash). The corpus pays nTables index entries per
+    * vector (standard LSH storage cost); only (id, table, bucket) rides
+    * the candidate join — vectors are rehydrated by id AFTER the candidate
+    * set is distinct, then scored exactly with the quantized cosine. */
+  def lshKnnTables(corpus: DataFrame, queries: DataFrame, k: Int,
+                   nBits: Int = 6, nTables: Int = 24,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cB = c.select(col("cand_id"),
+      posexplode(vec_lsh_buckets(col("cv"), lit(nBits), lit(nTables)))
+        .as(Seq("table", "bucket")))
+    val qB = q.select(col("query_id"),
+      posexplode(vec_lsh_buckets(col("qv"), lit(nBits), lit(nTables)))
+        .as(Seq("table", "bucket")))
+    val cands = cB.join(broadcast(qB), Seq("table", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    cands
+      .join(broadcast(q), "query_id")
+      .join(c, "cand_id")
       .withColumn("score", qcosine_sim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -7,7 +7,7 @@ import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
 
 import graft.operators.Extraction
 
@@ -17,10 +17,19 @@ import graft.operators.Extraction
   *  - JSON: array of objects (`[{...},{...}]`) — begin/delimiter/finalize
   *    protocol (`encoders.go:141-172`); JSONL: one object per line.
   *  - CSV: header from fieldNames; quote `"` -> `""`; wrap a cell in
-  *    quotes iff it contains `,`, `"` or a newline; ARRAY values joined
-  *    with `;` (`encoders.go:265-328`).
-  *  - XML: `<root><row><Field_attr>...</Field_attr>...</row></root>` with
-  *    the five predefined entities escaped (`encoders.go:330-382`).
+  *    quotes iff it contains `,` or a newline — a quote alone is doubled
+  *    but NOT wrapped, exactly like `formatFieldValue`
+  *    (`encoders.go:265-303`); ARRAY values joined with `;`.
+  *  - XML: `<?xml version="1.0" encoding="UTF-8"?><root>` then each
+  *    record's fields emitted directly under root (no per-record wrapper),
+  *    array values `;`-joined inside ONE element, the five predefined
+  *    entities escaped (`encoders.go:334-382`). One deliberate deviation:
+  *    fields emit in schema order — the reference ranges over a Go map,
+  *    whose order is randomized per run, and a deterministic engine must
+  *    not reproduce nondeterminism.
+  *  - nested details (`encoders.go:207-241`): a column whose name contains
+  *    "details" with `array<struct>` type rehydrates as object-if-1 /
+  *    array-if-N in JSON, and as recursively nested elements in XML.
   *  - optional gzip (`.gz`) like the reference's compressor
   *    (`encoders.go:51-56`).
   *
@@ -34,9 +43,24 @@ import graft.operators.Extraction
   */
 object DfkEncoders {
 
-  /** JSON-string encode per column: arrays unwrap if single. */
+  private def isDetails(row: Row, i: Int): Boolean =
+    row.schema(i).name.contains("details") &&
+      (row.schema(i).dataType match {
+        case ArrayType(_: StructType, _) => true
+        case _ => false
+      })
+
+  /** JSON-string encode per column: arrays unwrap if single; `_details`
+    * array<struct> columns follow the reference's object-if-1/array-if-N
+    * rehydration rule (`encoders.go:233-238`). */
   private def jsonValue(row: Row, i: Int): Option[String] = {
     if (row.isNullAt(i)) return None
+    if (isDetails(row, i)) {
+      val ds = row.getSeq[Row](i)
+      return if (ds.isEmpty) None
+      else if (ds.size == 1) Some(rowToJson(ds.head))
+      else Some(ds.map(rowToJson).mkString("[", ",", "]"))
+    }
     row.schema(i).dataType match {
       case ArrayType(StringType, _) =>
         val xs = row.getSeq[String](i)
@@ -67,17 +91,22 @@ object DfkEncoders {
       jsonValue(row, i).map(v => s"${q(name)}:$v")
     }.mkString("{", ",", "}")
 
-  /** CSV cell per the reference: `"`->`""`; wrap iff `,`/`"`/newline;
-    * arrays joined with `;` BEFORE quoting. */
+  /** CSV cell per the reference: `"`->`""`; wrap iff the (escaped) value
+    * contains `,` or a newline — a quote alone stays UNWRAPPED, exactly
+    * like `formatFieldValue` (`encoders.go:265-281`); arrays joined with
+    * `;` BEFORE quoting. */
   def csvCell(s: String): String = {
     val escaped = s.replace("\"", "\"\"")
-    if (escaped.contains(',') || escaped.contains('\n') || escaped.contains('"'))
+    if (escaped.contains(',') || escaped.contains('\n'))
       "\"" + escaped + "\""
     else escaped
   }
 
   private def csvValue(row: Row, i: Int): String = {
     if (row.isNullAt(i)) return ""
+    // the reference's formatFieldValue has no map case -> details render
+    // as an empty cell in CSV (encoders.go:265-303)
+    if (isDetails(row, i)) return ""
     row.schema(i).dataType match {
       case ArrayType(StringType, _) => csvCell(row.getSeq[String](i).mkString(";"))
       case StringType => csvCell(row.getString(i))
@@ -99,14 +128,26 @@ object DfkEncoders {
     sb.toString
   }
 
-  private def xmlValue(row: Row, i: Int): Seq[String] = {
-    if (row.isNullAt(i)) return Nil
-    row.schema(i).dataType match {
-      case ArrayType(StringType, _) => row.getSeq[String](i).map(xmlEscape)
-      case StringType => Seq(xmlEscape(row.getString(i)))
-      case _ => Seq(xmlEscape(String.valueOf(row.get(i))))
-    }
+  /** One `<field>value</field>` element per column: array values joined
+    * with `;` INSIDE the single element (`encoders.go:355-366`); details
+    * columns nest their struct fields recursively (`encoders.go:338-352`). */
+  private def xmlField(row: Row, i: Int): String = {
+    val name = row.schema(i).name
+    if (row.isNullAt(i)) return s"<$name></$name>"
+    val body =
+      if (isDetails(row, i))
+        row.getSeq[Row](i).map(xmlRecord).mkString
+      else row.schema(i).dataType match {
+        case ArrayType(StringType, _) =>
+          row.getSeq[String](i).map(xmlEscape).mkString(";")
+        case StringType => xmlEscape(row.getString(i))
+        case _ => xmlEscape(String.valueOf(row.get(i)))
+      }
+    s"<$name>$body</$name>"
   }
+
+  private def xmlRecord(row: Row): String =
+    row.schema.indices.map(i => xmlField(row, i)).mkString
 
   private def writer(path: String, gzip: Boolean): BufferedWriter = {
     Files.createDirectories(Paths.get(path).getParent)
@@ -141,15 +182,8 @@ object DfkEncoders {
             w.write("\n")
           }
         case "xml" =>
-          w.write("<root>")
-          while (it.hasNext) {
-            val row = it.next()
-            w.write("<row>")
-            row.schema.fieldNames.zipWithIndex.foreach { case (name, i) =>
-              xmlValue(row, i).foreach(v => w.write(s"<$name>$v</$name>"))
-            }
-            w.write("</row>")
-          }
+          w.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?><root>")
+          while (it.hasNext) w.write(xmlRecord(it.next()))
           w.write("</root>")
         case other => throw new IllegalArgumentException(s"unknown format: $other")
       }

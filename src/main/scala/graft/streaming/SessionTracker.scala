@@ -63,7 +63,11 @@ object SessionTracker {
     }
     if (open != null) {
       state.update(open)
-      state.setTimeoutTimestamp(open.lastMs + GapMs)
+      // Clamp to watermark+1: Spark rejects a timeout <= current watermark,
+      // and a batch whose newest event per key is older than watermark-gap
+      // (allowed by the lateness bound) would otherwise crash the query.
+      state.setTimeoutTimestamp(
+        math.max(open.lastMs + GapMs, state.getCurrentWatermarkMs() + 1))
     }
     closed.iterator
   }

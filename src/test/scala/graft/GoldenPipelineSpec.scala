@@ -48,12 +48,13 @@ class GoldenPipelineSpec extends AnyFunSuite {
     val path = Files.createTempDirectory("golden").resolve("result.xml").toString
     DfkEncoders.encode(out, path, "xml")
     val got = Files.readString(java.nio.file.Paths.get(path))
-    val golden = "<root>" + (0 until 3).map { i =>
-      val p = Persons.all(i % Persons.N)
-      val phones = p.phones.map(ph => s"<Phones_text>$ph</Phones_text>").mkString
-      s"<row><clip_id>${ClipGen.clipId(i)}</clip_id>" +
-        s"<Name_text>${p.name}</Name_text>$phones</row>"
-    }.mkString + "</root>"
+    val golden = "<?xml version=\"1.0\" encoding=\"UTF-8\"?><root>" +
+      (0 until 3).map { i =>
+        val p = Persons.all(i % Persons.N)
+        s"<clip_id>${ClipGen.clipId(i)}</clip_id>" +
+          s"<Name_text>${p.name}</Name_text>" +
+          s"<Phones_text>${p.phones.mkString(";")}</Phones_text>"
+      }.mkString + "</root>"
     assert(got == golden)
   }
 
@@ -71,5 +72,39 @@ class GoldenPipelineSpec extends AnyFunSuite {
       assert(lines.get(i + 1) ==
         s"${ClipGen.clipId(i)},${p.name},${p.phones.mkString(";")}")
     }
+  }
+
+  test("details rehydration: object-if-1 / array-if-N in JSON, nested XML") {
+    // the reference nests child rows under the parent column
+    // (encoders.go:207-241; golden shape testdata/scrape/details.json):
+    // exactly one detail row -> a JSON OBJECT, several -> an ARRAY.
+    import spark.implicits._
+    val df = Seq(
+      ("r1", Seq(("a@x.com", "NY")), "one detail"),
+      ("r2", Seq(("b@x.com", "LA"), ("c@x.com", "SF")), "two details"))
+      .toDF("id", "raw", "note")
+      .select(col("id"),
+        transform(col("raw"), r =>
+          struct(r.getField("_1").as("Email_text"),
+            r.getField("_2").as("City_text"))).as("Links_details"),
+        col("note"))
+    val dir = Files.createTempDirectory("golden-details")
+    val j = Files.readString(java.nio.file.Paths.get(
+      DfkEncoders.encode(df, dir.resolve("d.json").toString, "json")))
+    assert(j ==
+      """[{"id":"r1","Links_details":{"Email_text":"a@x.com","City_text":"NY"},"note":"one detail"},""" +
+        """{"id":"r2","Links_details":[{"Email_text":"b@x.com","City_text":"LA"},""" +
+        """{"Email_text":"c@x.com","City_text":"SF"}],"note":"two details"}]""")
+    val x = Files.readString(java.nio.file.Paths.get(
+      DfkEncoders.encode(df, dir.resolve("d.xml").toString, "xml")))
+    assert(x == "<?xml version=\"1.0\" encoding=\"UTF-8\"?><root>" +
+      "<id>r1</id><Links_details><Email_text>a@x.com</Email_text><City_text>NY</City_text></Links_details><note>one detail</note>" +
+      "<id>r2</id><Links_details><Email_text>b@x.com</Email_text><City_text>LA</City_text>" +
+      "<Email_text>c@x.com</Email_text><City_text>SF</City_text></Links_details><note>two details</note>" +
+      "</root>")
+    // CSV: the reference's formatFieldValue has no map case -> empty cell
+    val c = Files.readAllLines(java.nio.file.Paths.get(
+      DfkEncoders.encode(df, dir.resolve("d.csv").toString, "csv")))
+    assert(c.get(1) == "r1,,one detail")
   }
 }

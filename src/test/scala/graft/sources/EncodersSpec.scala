@@ -46,15 +46,16 @@ class EncodersSpec extends AnyFunSuite {
     assert(lines.get(0) == "Name_text,Phones_text")
     assert(lines.get(1) == "Avery Alder,1-702-111-2222;1-555-333-4444")
     assert(lines.get(2) == "\"Blake, Birch\",1-800-000-0001")
-    assert(lines.get(3) == "\"Casey \"\"CC\"\" Cedar\",")
+    // quote-alone stays UNWRAPPED per the reference's formatFieldValue
+    assert(lines.get(3) == "Casey \"\"CC\"\" Cedar,")
   }
 
-  test("xml: root/row structure with entity escaping, arrays as repeats") {
+  test("xml: declaration + fields under root, arrays ;-joined, entity escaping") {
     val out = DfkEncoders.encode(
       Seq((Seq("a&b"), Seq("<x>", "y'z"))).toDF("N", "P"), tmp("r.xml"), "xml")
     val got = Files.readString(java.nio.file.Paths.get(out))
-    assert(got ==
-      "<root><row><N>a&amp;b</N><P>&lt;x&gt;</P><P>y&apos;z</P></row></root>")
+    assert(got == "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<root><N>a&amp;b</N><P>&lt;x&gt;;y&apos;z</P></root>")
   }
 
   test("gzip roundtrip") {

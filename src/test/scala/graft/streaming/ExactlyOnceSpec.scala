@@ -36,6 +36,30 @@ class ExactlyOnceSpec extends AnyFunSuite {
     assert(t.read(spark).columns.toSet.intersect(Set("_batch_id", "_part_id")).size == 2)
   }
 
+  test("crash between the two swap renames is recovered, no data loss") {
+    // The COW swap is (live -> _trash, staged -> live). Simulate a crash
+    // after the first rename: the bucket dir is gone, its rows parked in
+    // _trash-<batch>-<b>. Both read() and the replayed merge must restore
+    // the bucket first (regression for the silent-loss window).
+    val dir = Files.createTempDirectory("tbl-crash").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 1) // one bucket = bucket 0
+    t.merge(Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0)
+    // simulate: batch 1's swap moved live out but crashed before moving in
+    val bucket = java.nio.file.Paths.get(dir, "data", "bucket=0")
+    val trash = java.nio.file.Paths.get(dir, "_trash-1-0")
+    java.nio.file.Files.move(bucket, trash)
+    // read() alone restores the parked bucket
+    assert(t.read(spark).select("k", "v").as[(String, Int)].collect().toMap ==
+      Map("a" -> 1, "b" -> 2))
+    // crash again, then the REPLAYED merge of batch 1 must see the old rows
+    java.nio.file.Files.move(bucket, trash)
+    t.merge(Seq(("a", 10), ("c", 3)).toDF("k", "v"), 1)
+    assert(t.read(spark).select("k", "v").as[(String, Int)].collect().toMap ==
+      Map("a" -> 10, "b" -> 2, "c" -> 3))
+    // completed swaps just drop leftover trash
+    assert(!java.nio.file.Files.exists(trash))
+  }
+
   test("kill after merge-commit, resume from checkpoint: no dupes, batch-identical") {
     val inputDir = Files.createTempDirectory("clips-in").toString
     graft.TestSpark.writeTimeOrdered(ClipGen.clipsDf(spark, 160), inputDir, 8)

@@ -48,6 +48,33 @@ class SessionTrackerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("events older than the watermark neither crash timeout arming nor leak state") {
+    // setTimeoutTimestamp is clamped to watermark+1 (Spark rejects a
+    // timeout <= current watermark). In Spark 4.1 flatMapGroupsWithState
+    // additionally FILTERS input rows older than the watermark before they
+    // reach the state function, so a too-old event is dropped outright —
+    // this test pins both: the query survives the sequence, and the late
+    // key produces no session (dropped-late semantics, same as the
+    // aggregation operators). The clamp remains as defense-in-depth for
+    // the timeout re-arm path.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SessEvt]
+    val out = SessionTracker.sessions(
+      in.toDF().withWatermark("event_time", "10 seconds"))
+    val q = out.writeStream.format("memory").queryName("sess3")
+      .outputMode("append").start()
+    try {
+      in.addData(e(9, 600)) // push watermark to 590s
+      q.processAllAvailable()
+      in.addData(e(3, 500)) // 90s older than the watermark -> dropped
+      q.processAllAvailable()
+      in.addData(e(9, 1200)); q.processAllAvailable()
+      in.addData(e(9, 1800)); q.processAllAvailable()
+      assert(q.exception.isEmpty)
+      assert(spark.table("sess3").filter($"person_idx" === 3).isEmpty)
+    } finally q.stop()
+  }
+
   test("state survives across batches: session spanning two micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[SessEvt]
