@@ -30,6 +30,7 @@ object DecodeElision extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DecodeElision)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("decode_pcm"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -62,6 +62,17 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // Offset/limit paging (L3 — the reference testserver's offset-slice
+    // pagination, /root/reference/testserver/main.go:243-257): page 2 of
+    // the price-ordered scan. Spark plans OFFSET+LIMIT as a single
+    // CollectLimit with offset — no global sort materialization.
+    "q14_offset_page" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .offset(10).limit(10)
+    }),
+
     // Window functions: per-customer order ranking + running revenue.
     "q4_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -160,6 +171,22 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // AS-OF join via the custom Catalyst operator (AsOfJoinPlan ->
+    // AsOfJoinStrategy -> AsOfJoinExec merge sweep): for every click, the
+    // latest 'view' by the same user at-or-before the click. Oracled with
+    // DuckDB's native ASOF JOIN.
+    "q13_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
+          col("ts").as("v_ts"))
+      graft.plans.AsOfJoin(clicks, views, "user_id", "v_user_id", "ts", "v_ts")
+        .select(col("event_id"), col("user_id"), col("v_event_id"))
+        .orderBy("event_id")
+    }),
+
     // Multi-way join + grouped agg with date bucketing (shuffle on 1 key).
     "q8_supplier_part" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -246,6 +273,15 @@ object RelationalQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_offset_page" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10 OFFSET 10""".stripMargin,
+    "q13_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS v_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
     "q8_supplier_part" ->
       """SELECT s_name,
         |  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2)::DOUBLE AS revenue,

@@ -11,13 +11,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("DecodeElision rewrites size(decode_pcm(...)) to pcm_sample_count") {
+    // GraftSession registers the extensions session-wide, so the shared
+    // session's optimizer already applies the rule; check both the raw
+    // rule (on the un-optimized plan) and the end-to-end optimized plan.
     val df = ClipGen.clipsDf(spark, 10)
       .select(size(decode_pcm(col("bytes"), col("codec"), col("sr_hz"))).as("n"))
-    val before = df.queryExecution.optimizedPlan
-    val after = DecodeElision(before)
-    assert(before.toString.contains("decode_pcm"))
+    val analyzed = df.queryExecution.analyzed
+    assert(analyzed.toString.contains("decode_pcm"))
+    val after = DecodeElision(analyzed)
     assert(!after.toString.contains("decode_pcm"), s"not elided:\n$after")
     assert(after.toString.contains("pcm_sample_count"))
+    val optimized = df.queryExecution.optimizedPlan
+    assert(!optimized.toString.contains("decode_pcm"),
+      s"session-wide extensions did not elide:\n$optimized")
   }
 
   test("session with GraftExtensions applies the rule and injects SQL functions") {
