@@ -79,4 +79,39 @@ class PlanQualitySpec extends AnyFunSuite {
   test("flagship entry produces rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).limit(5).count() > 0)
   }
+
+  /** The LSH candidate joins must shuffle ids+bucket keys ONLY — at 100 TB
+    * a text or vector column riding the banded exchange is `bands`x copies
+    * of the corpus through one shuffle. Payloads are rehydrated by id
+    * AFTER the candidate pair set is distinct. */
+  private def candidateJoinCarriesOnly(name: String, keyHint: String,
+                                       forbidden: Set[String]): Unit = {
+    val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == keyHint)) => j
+    }
+    assert(joins.nonEmpty, s"$name: no candidate join on $keyHint found:\n$plan")
+    joins.foreach { j =>
+      val below = j.children.flatMap(_.output).map(_.name).toSet
+      val bad = below.intersect(forbidden)
+      assert(bad.isEmpty,
+        s"$name: $bad ride the $keyHint candidate shuffle: $below")
+    }
+  }
+
+  test("d2: no document text below the banded MinHash-LSH candidate join") {
+    candidateJoinCarriesOnly("d2_neardup_minhash", "bhash",
+      Set("text", "text_a", "text_b"))
+  }
+
+  test("d4: no embedding vectors below the multi-table LSH candidate join") {
+    candidateJoinCarriesOnly("d4_embedding_neardup", "bucket",
+      Set("v", "v_a", "v_b", "embedding"))
+  }
+
+  test("s2: no vectors below the ANN bucket-probe join") {
+    candidateJoinCarriesOnly("s2_knn_lsh", "bucket",
+      Set("qv", "cv", "embedding"))
+  }
 }

@@ -133,6 +133,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  /** embeddings + planted near-neighbors (sign-flip copies, cos ~0.84) —
+    * the same construction DocQueries.augEmb uses for the s2 oracle. */
+  private lazy val embAug = {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter($"vec_id" < 8)
+    val copies = (0 until 5).map { j =>
+      probes.select(($"vec_id" + lit(10000L * (j + 1))).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i % 13 === j, -x).otherwise(x)).as("embedding"))
+    }.reduce(_ unionByName _)
+    e.unionByName(copies).cache()
+  }
+
+  test("multi-table LSH kNN returns the exact brute-force top-5 on planted neighbors") {
+    val queries = embAug.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceKnn(embAug, queries, k = 5)
+      .select("query_id", "rank", "cand_id").as[(Long, Int, Long)].collect().toSet
+    val lsh = Similarity.lshKnnTables(embAug, queries, k = 5, nBits = 6, nTables = 24)
+      .select("query_id", "rank", "cand_id").as[(Long, Int, Long)].collect().toSet
+    assert(brute.size == 40)
+    assert(lsh == brute)
+  }
+
+  test("multi-table embedding near-dup finds every planted pair (recall 1.0 at threshold)") {
+    val pairs = Dedup.embeddingNearDup(embAug, "embedding", "vec_id",
+      threshold = 0.8, nBits = 4, nTables = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: exact all-pairs qcosine over the SAME (tiny) planted
+    // family — sign flips hit uneven component energy, so which pairs
+    // clear 0.8 is data-dependent; derive it exactly instead of assuming
+    import graft.functions.GraftFunctions._
+    val fam = embAug.filter($"vec_id" % 10000 < 8)
+    val a = fam.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = fam.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val want = a.join(b, $"id_a" < $"id_b")
+      .filter(qcosine_sim($"va", $"vb") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(want.size >= 20, s"planted family too sparse: ${want.size}")
+    assert(pairs == want,
+      s"missing: ${want.diff(pairs)}, extra: ${pairs.diff(want)}")
+  }
+
   test("LSH ANN recall vs brute force is usable and never scores cross-bucket") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = e.filter($"vec_id" < 20)
