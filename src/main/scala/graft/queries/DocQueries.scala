@@ -132,6 +132,20 @@ object DocQueries {
       Similarity.lshKnnTables(e, e.filter(col("vec_id") < 8), k = 5,
         nBits = 6, nTables = 24)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-Flat ANN (k-means coarse quantizer), the second scale path:
+    // 32-cell deterministic k-means, queries probe their 10 nearest cells
+    // (~31% of the corpus scored), exact quantized-cosine re-rank. Same
+    // planted-neighbor corpus and exact brute-force oracle as s2. (At real
+    // scale: nList ~ sqrt(n), small nProbe, recall < 1 accepted — the
+    // fixture tunes for recall 1.0 so the oracle can be hash-exact.)
+    "s3_knn_ivf" -> ((s, dir) => {
+      val e = augEmb(s, dir)
+      val cents = graft.operators.Ivf.fit(e, "embedding", nList = 32)
+      graft.operators.Ivf.ivfKnn(e, e.filter(col("vec_id") < 8), k = 5,
+        cents, nProbe = 10)
+        .orderBy("query_id", "rank")
     }))
 
   /** embeddings + 5 planted near-neighbors per probe vector (vec_id < 8):
@@ -301,34 +315,37 @@ object DocQueries {
          |SELECT query_id, rank, cand_id,
          |  CAST(floor(score * 1e6) AS BIGINT) AS score_x1e6
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    // s2's oracle: exact brute-force top-5 over the SAME augmented corpus
-    // (planted sign-flip near-neighbors) — the LSH plan must reproduce it
-    // bit-for-bit (recall 1.0 under the fixed hyperplane seeds: the honest
-    // way to hash-verify an ANN path).
-    "s2_knn_lsh" ->
-      s"""WITH aug AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 10000 * (j + 1),
-         |    list_transform(generate_series(1, len(embedding)),
-         |      i -> CASE WHEN ((i - 1) % 13) = j THEN -embedding[i]
-         |           ELSE embedding[i] END)
-         |  FROM embeddings, (SELECT unnest(generate_series(0, 4)) AS j) js
-         |  WHERE vec_id < 8),
-         |qv AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
-         |  FROM aug),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |    ${pairScoreSql("q.q", "c.q")} AS score
-         |  FROM qv q JOIN qv c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
-         |ranked AS (
-         |  SELECT query_id, cand_id, score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, cand_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, cand_id,
-         |  CAST(floor(score * 1e6) AS BIGINT) AS score_x1e6
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    // s2/s3 oracle: exact brute-force top-5 over the SAME augmented corpus
+    // (planted sign-flip near-neighbors) — each ANN plan must reproduce it
+    // bit-for-bit (recall 1.0 under deterministic hashing/quantization:
+    // the honest way to hash-verify an ANN path).
+    "s3_knn_ivf" -> augKnnOracleSql,
+    "s2_knn_lsh" -> augKnnOracleSql)
+
+  private lazy val augKnnOracleSql: String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 * (j + 1),
+       |    list_transform(generate_series(1, len(embedding)),
+       |      i -> CASE WHEN ((i - 1) % 13) = j THEN -embedding[i]
+       |           ELSE embedding[i] END)
+       |  FROM embeddings, (SELECT unnest(generate_series(0, 4)) AS j) js
+       |  WHERE vec_id < 8),
+       |qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+       |  FROM aug),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${pairScoreSql("q.q", "c.q")} AS score
+       |  FROM qv q JOIN qv c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, cand_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, cand_id,
+       |  CAST(floor(score * 1e6) AS BIGINT) AS score_x1e6
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

@@ -176,6 +176,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missing: ${want.diff(pairs)}, extra: ${pairs.diff(want)}")
   }
 
+  test("IVF kNN returns the exact brute-force top-5 on planted neighbors") {
+    val queries = embAug.filter($"vec_id" < 8)
+    val cents = Ivf.fit(embAug, "embedding", nList = 32)
+    assert(cents.length == 32 && cents.head.length == 64)
+    // deterministic: refitting yields the identical quantizer
+    val cents2 = Ivf.fit(embAug, "embedding", nList = 32)
+    assert(cents.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+    val brute = Similarity.bruteForceKnn(embAug, queries, k = 5)
+      .select("query_id", "rank", "cand_id").as[(Long, Int, Long)].collect().toSet
+    val ivf = Ivf.ivfKnn(embAug, queries, k = 5, cents, nProbe = 10)
+      .select("query_id", "rank", "cand_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == brute)
+    // and the candidate set is genuinely partial: nProbe/nList of cells
+    val cells = embAug.select(Ivf.cellCol($"embedding", cents).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(cells.length > 6, "quantizer collapsed - probing would be a full scan")
+  }
+
   test("LSH ANN recall vs brute force is usable and never scores cross-bucket") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = e.filter($"vec_id" < 20)
