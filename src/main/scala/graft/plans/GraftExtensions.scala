@@ -37,5 +37,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[DecodePcm].getName, "decode_pcm"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DecodePcm(es(0), es(1), es(2))))
+    // TVF surface: SELECT * FROM clip_cards('<clips parquet dir>') — the
+    // reference's "cards" payload as a SQL table function (selector
+    // extraction applied to the clip table at the given path). The path
+    // argument must be a foldable string literal (like range()'s args).
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("clip_cards"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.operators.Extraction", "clip_cards"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(es.length == 1 && es.head.foldable,
+          "clip_cards(path) expects one string literal")
+        val path = es.head.eval().toString
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Extraction(graft.queries.ClipQueries.cardsSpec)(
+          spark.read.parquet(path)).queryExecution.analyzed
+      }))
   }
 }

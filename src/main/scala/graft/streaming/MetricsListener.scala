@@ -24,6 +24,7 @@ final class MetricsListener(path: String) extends StreamingQueryListener {
     val stateRows = p.stateOperators.map(_.numRowsTotal).sum
     val stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum
     val watermark = Option(p.eventTime.get("watermark")).getOrElse("")
+    val eventMax = Option(p.eventTime.get("max")).getOrElse("")
     val durations = {
       val it = p.durationMs.entrySet().iterator()
       val sb = new StringBuilder("{")
@@ -43,7 +44,7 @@ final class MetricsListener(path: String) extends StreamingQueryListener {
         s""""processed_rows_per_sec":${safe(p.processedRowsPerSecond)},""" +
         s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
         s""""durations_ms":$durations,""" +
-        s""""watermark":"$watermark"}""" + "\n"
+        s""""watermark":"$watermark","event_time_max":"$eventMax"}""" + "\n"
     Files.write(Paths.get(path), line.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
@@ -61,4 +62,28 @@ object MetricsListener {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** Watermark-lag alarms: batches whose event-time watermark trails the
+    * maximum event time seen SO FAR by more than `maxLagMs` while input
+    * keeps flowing — the ops signal that state eviction (and therefore
+    * state size) is falling behind the stream. Lag is measured in event
+    * time (not wall clock), so it is meaningful for replayed/synthetic
+    * streams too. Returns the offending batches. */
+  def watermarkLagAlarms(metrics: DataFrame, maxLagMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("query_id")).orderBy(col("batch_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    metrics
+      .filter(col("watermark") =!= "" && col("event_time_max") =!= "")
+      // a 1970 epoch watermark is Spark's "not yet initialized" bootstrap
+      // value on a query's first batch, not a lagging watermark
+      .filter(unix_millis(to_timestamp(col("watermark"))) > 0)
+      .withColumn("max_event_ms",
+        max(unix_millis(to_timestamp(col("event_time_max")))).over(w))
+      .withColumn("lag_ms",
+        col("max_event_ms") - unix_millis(to_timestamp(col("watermark"))))
+      .filter(col("num_input_rows") > 0 && col("lag_ms") > maxLagMs)
+      .select("batch_id", "watermark", "event_time_max", "lag_ms", "state_rows")
+  }
 }

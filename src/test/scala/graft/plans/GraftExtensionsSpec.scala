@@ -26,6 +26,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"session-wide extensions did not elide:\n$optimized")
   }
 
+  test("clip_cards TVF: SQL table function over a clip table path") {
+    val dir = java.nio.file.Files.createTempDirectory("tvf-clips").toString
+    ClipGen.clipsDf(spark, 6).write.mode("overwrite").parquet(dir)
+    val rows = spark.sql(
+      s"SELECT clip_id, Name_text FROM clip_cards('$dir') ORDER BY clip_id")
+      .collect()
+    assert(rows.length == 6)
+    assert(rows.head.getString(0) == ClipGen.clipId(0))
+    assert(rows.head.getSeq[String](1).head == graft.fixtures.Persons.all(0).name)
+  }
+
   test("session with GraftExtensions applies the rule and injects SQL functions") {
     // force a FRESH session (getOrCreate would return the shared one and
     // ignore withExtensions) — restore the shared default afterwards
