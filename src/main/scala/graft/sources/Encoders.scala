@@ -156,9 +156,72 @@ object DfkEncoders {
     new BufferedWriter(new OutputStreamWriter(stream, StandardCharsets.UTF_8))
   }
 
+  /** Minimal SpreadsheetML writer — XLSX is a zip of XML parts, so the
+    * reference's XLSX encoder (`encoders.go:396-456`: one sheet named
+    * "sheet", header row, every data cell the CSV-formatted string) needs
+    * no spreadsheet library. Faithfully reproduces the reference's quirk
+    * of writing `formatFieldValue`'s output — INCLUDING its trailing
+    * comma — into each cell (`encoders.go:427-431`). Inline strings keep
+    * the file single-pass/streamable. */
+  private def encodeXlsx(df: DataFrame, path: String): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    val zip = new java.util.zip.ZipOutputStream(Files.newOutputStream(Paths.get(path)))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes(StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          """</Types>""")
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          """</Relationships>""")
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+          """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          """<sheets><sheet name="sheet" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+          """</Relationships>""")
+      zip.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      def write(s: String): Unit = zip.write(s.getBytes(StandardCharsets.UTF_8))
+      write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      def rowXml(cells: Seq[String]): String =
+        "<row>" + cells.map(c =>
+          s"""<c t="inlineStr"><is><t>${xmlEscape(c)}</t></is></c>""").mkString + "</row>"
+      write(rowXml(df.schema.fieldNames.toSeq))
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        write(rowXml(df.schema.indices.map(i => csvValue(row, i) + ",")))
+      }
+      write("</sheetData></worksheet>")
+      zip.closeEntry()
+    } finally zip.close()
+  }
+
   /** Encode `df` (already ordered by the caller) to `path`. Format in
-    * {"json", "jsonl", "csv", "xml"}; `.gz` appended when gzip. */
+    * {"json", "jsonl", "csv", "xml", "xlsx"}; `.gz` appended when gzip
+    * (xlsx is already a zip — gzip rejected). */
   def encode(df: DataFrame, path: String, format: String, gzip: Boolean = false): String = {
+    if (format == "xlsx") {
+      require(!gzip, "xlsx is already zip-compressed")
+      encodeXlsx(df, path)
+      return path
+    }
     val out = if (gzip) path + ".gz" else path
     val w = writer(out, gzip)
     try {

@@ -67,6 +67,41 @@ class EncodersSpec extends AnyFunSuite {
   }
 
   test("unknown format rejected") {
-    intercept[IllegalArgumentException] { DfkEncoders.encode(df, tmp("r.x"), "xlsx") }
+    intercept[IllegalArgumentException] { DfkEncoders.encode(df, tmp("r.x"), "parquetish") }
+  }
+
+  test("xlsx: zip of well-formed SpreadsheetML parts, CSV-formatted cells") {
+    val out = DfkEncoders.encode(df, tmp("r.xlsx"), "xlsx")
+    val zf = new java.util.zip.ZipFile(out)
+    try {
+      val names = {
+        val es = zf.entries(); val b = scala.collection.mutable.Set.empty[String]
+        while (es.hasMoreElements) b += es.nextElement().getName
+        b.toSet
+      }
+      assert(names == Set("[Content_Types].xml", "_rels/.rels",
+        "xl/workbook.xml", "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml"))
+      // every part must be well-formed XML
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      names.foreach { n =>
+        dbf.newDocumentBuilder().parse(zf.getInputStream(zf.getEntry(n)))
+      }
+      val sheet = new String(
+        zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(), "UTF-8")
+      // header row then one row per record; cells carry formatFieldValue's
+      // output including its trailing comma (the reference's own quirk,
+      // encoders.go:427-431) with CSV quote rules applied
+      assert(sheet.contains("<t>Name_text</t>"))
+      assert(sheet.contains("<t>Avery Alder,</t>"))
+      assert(sheet.contains("<t>1-702-111-2222;1-555-333-4444,</t>"))
+      assert(sheet.contains("<t>&quot;Blake, Birch&quot;,</t>"))
+      assert(sheet.linesIterator.mkString.split("<row>").length == 5) // header + 3 rows (+ prefix)
+    } finally zf.close()
+  }
+
+  test("xlsx rejects gzip (already a zip)") {
+    intercept[IllegalArgumentException] {
+      DfkEncoders.encode(df, tmp("g.xlsx"), "xlsx", gzip = true)
+    }
   }
 }
