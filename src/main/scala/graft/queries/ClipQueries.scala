@@ -152,6 +152,21 @@ object ClipQueries {
         .orderBy("country")
     }),
 
+    // CEP sequence pattern (A then B within T per key), the declarative
+    // twin of the streaming PatternDetector: ulaw clip followed by an alaw
+    // clip by the same speaker within 60 s — A matches its FIRST
+    // qualifying B. Stream/batch parity asserted in PatternDetectorSpec;
+    // oracled here.
+    "c12_pattern_matches" -> ((s, dir) => {
+      val ev = ClipGen.readClips(s, dir).select(
+        col("person_idx").as("key"), col("clip_id").as("id"), col("event_time"),
+        (col("codec") === "ulaw").as("is_a"), (col("codec") === "alaw").as("is_b"))
+      graft.streaming.PatternDetector.detectBatch(ev, withinMs = 60000L)
+        .select(col("key").cast("int").as("person_idx"), col("a_id"),
+          col("a_time_ms"), col("b_id"), col("b_time_ms"), col("gap_ms"))
+        .orderBy("person_idx", "a_id")
+    }),
+
     // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
     // country -> region, depth fixed at plan time; leaf level aggregates.
     "c9_multihop" -> ((s, dir) => {
@@ -174,6 +189,23 @@ object ClipQueries {
     val clips = s"read_parquet('${clipsGlob()}')"
     val updates = s"read_parquet('${updatesGlob()}')"
     Map(
+      "c12_pattern_matches" ->
+        s"""WITH ev AS (
+           |  SELECT person_idx AS key, clip_id AS id, epoch_ms(event_time) AS ms, codec
+           |  FROM $clips),
+           |a AS (SELECT key, id AS a_id, ms AS a_time_ms FROM ev WHERE codec = 'ulaw'),
+           |b AS (SELECT key, id AS b_id, ms AS b_time_ms FROM ev WHERE codec = 'alaw'),
+           |j AS (
+           |  SELECT a.key, a_id, a_time_ms, b_id, b_time_ms,
+           |    row_number() OVER (PARTITION BY a.key, a_id
+           |      ORDER BY b_time_ms, b_id) AS rn
+           |  FROM a JOIN b ON a.key = b.key
+           |    AND (b_time_ms > a_time_ms
+           |         OR (b_time_ms = a_time_ms AND b_id > a_id))
+           |    AND b_time_ms <= a_time_ms + 60000)
+           |SELECT CAST(key AS INTEGER) AS person_idx, a_id, a_time_ms,
+           |  b_id, b_time_ms, b_time_ms - a_time_ms AS gap_ms
+           |FROM j WHERE rn = 1 ORDER BY person_idx, a_id""".stripMargin,
       "c1_extract_fields" ->
         s"""SELECT clip_id,
            |  regexp_extract(transcript, '<name[^>]*>([^<]*)</name>', 1) AS name_text,

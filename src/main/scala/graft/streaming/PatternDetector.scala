@@ -83,6 +83,35 @@ object PatternDetector extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** The declarative BATCH twin of [[detect]]: A matches its FIRST
+    * qualifying B (by event time, then id) within `withinMs`; a B may
+    * close many As; an event that is both A and B never self-matches.
+    * Same output schema as the streaming operator — parity is asserted in
+    * PatternDetectorSpec, and this plan is the DuckDB-oracle surface
+    * (query c12). Plan shape: one equi-join on key + a per-A window,
+    * both shuffling on key only. */
+  def detectBatch(events: DataFrame, withinMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("key").cast("string").as("key"),
+      col("id").cast("string").as("id"), col("event_time"),
+      col("is_a"), col("is_b"))
+    val a = ev.filter(col("is_a")).select(col("key"), col("id").as("a_id"),
+      unix_millis(col("event_time")).as("a_time_ms"))
+    val b = ev.filter(col("is_b")).select(col("key").as("b_key"),
+      col("id").as("b_id"), unix_millis(col("event_time")).as("b_time_ms"))
+    val w = Window.partitionBy(col("key"), col("a_id"))
+      .orderBy(col("b_time_ms"), col("b_id"))
+    a.join(b, col("key") === col("b_key") &&
+        (col("b_time_ms") > col("a_time_ms") ||
+          (col("b_time_ms") === col("a_time_ms") && col("b_id") > col("a_id"))) &&
+        col("b_time_ms") <= col("a_time_ms") + withinMs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("a_id"), col("a_time_ms"),
+        col("b_id"), col("b_time_ms"),
+        (col("b_time_ms") - col("a_time_ms")).as("gap_ms"))
+  }
+
   /** Re-arm eviction at the earliest open candidate's match deadline:
     * once the watermark passes aMs + withinMs, that A can never match. */
   private def armTimeout(state: GroupState[St], open: List[Open],

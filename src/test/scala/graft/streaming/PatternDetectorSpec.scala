@@ -70,6 +70,25 @@ class PatternDetectorSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("streaming detect == declarative detectBatch (oracle surface parity)") {
+    // deterministic mixed workload: 5 keys x 24 events, every third an A,
+    // every fourth a B (some events both), strictly increasing times
+    val evts = for {
+      k <- 0 until 5
+      i <- 0 until 24
+    } yield PEvt(s"k$k", f"e$k%d-$i%02d", ts(i * 7 + k),
+      is_a = i % 3 == 0, is_b = i % 4 == 0)
+    val batches = evts.sortBy(_.event_time.getTime).grouped(40).toSeq
+    val got = run("parity") { (in, proc) =>
+      batches.foreach { bs => in.addData(bs: _*); proc() }
+    }.map(m => (m.key, m.a_id, m.a_time_ms, m.b_id, m.b_time_ms, m.gap_ms))
+    val want = PatternDetector.detectBatch(evts.toDF(), withinMs = 30000)
+      .as[(String, String, Long, String, Long, Long)].collect().toSeq
+      .sortBy(t => (t._1, t._2, t._4))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("pattern over the clip domain: alaw clip followed by 44.1kHz clip in 30s") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[ClipEvt]
