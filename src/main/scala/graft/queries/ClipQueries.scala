@@ -167,6 +167,17 @@ object ClipQueries {
         .orderBy("person_idx", "a_id")
     }),
 
+    // Custom-state sessionization (T5/T6), the declarative twin of the
+    // streaming SessionTracker (flatMapGroupsWithState): per-speaker
+    // sessions closing after a 30 s event-time gap — gap-islands plan,
+    // stream/batch parity asserted in SessionTrackerSpec; oracled here.
+    // (c4 oracles the BUILT-IN session_window; this oracles the custom
+    // arbitrary-state variant.)
+    "c13_custom_sessions" -> ((s, dir) => {
+      graft.streaming.SessionTracker.sessionsBatch(ClipGen.readClips(s, dir))
+        .orderBy("person_idx", "session_start_ms")
+    }),
+
     // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
     // country -> region, depth fixed at plan time; leaf level aggregates.
     "c9_multihop" -> ((s, dir) => {
@@ -189,6 +200,27 @@ object ClipQueries {
     val clips = s"read_parquet('${clipsGlob()}')"
     val updates = s"read_parquet('${updatesGlob()}')"
     Map(
+      "c13_custom_sessions" ->
+        s"""WITH ev AS (
+           |  SELECT person_idx, epoch_ms(event_time) AS ms, dur_ms
+           |  FROM $clips),
+           |flagged AS (
+           |  SELECT person_idx, ms, dur_ms,
+           |    CASE WHEN ms - lag(ms) OVER (PARTITION BY person_idx ORDER BY ms)
+           |      >= 30000 THEN 1 ELSE 0 END AS new_session
+           |  FROM ev),
+           |numbered AS (
+           |  SELECT person_idx, ms, dur_ms,
+           |    sum(new_session) OVER (PARTITION BY person_idx ORDER BY ms
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM flagged)
+           |SELECT CAST(person_idx AS INTEGER) AS person_idx,
+           |  min(ms) AS session_start_ms,
+           |  max(ms) + 30000 AS session_end_ms,
+           |  count(*) AS n_clips,
+           |  CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms
+           |FROM numbered GROUP BY person_idx, sid
+           |ORDER BY person_idx, session_start_ms""".stripMargin,
       "c12_pattern_matches" ->
         s"""WITH ev AS (
            |  SELECT person_idx AS key, clip_id AS id, epoch_ms(event_time) AS ms, codec

@@ -72,6 +72,32 @@ object SessionTracker {
     closed.iterator
   }
 
+  /** The declarative BATCH twin of [[sessions]] — the classic gap-islands
+    * plan (lag + cumulative session counter), shuffling on person_idx
+    * only. Same output schema as the streaming operator; stream==batch
+    * parity is asserted in SessionTrackerSpec and this plan is the
+    * DuckDB-oracle surface (query c13). */
+  def sessionsBatch(clips: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("person_idx")).orderBy(col("ms"))
+    val ws = Window.partitionBy(col("person_idx"), col("sid"))
+    clips
+      .select(col("person_idx").cast("int").as("person_idx"),
+        unix_millis(col("event_time")).as("ms"),
+        col("dur_ms").cast("long").as("dur"))
+      .withColumn("new_session",
+        when(col("ms") - lag(col("ms"), 1).over(w) >= GapMs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("person_idx"),
+        min(col("ms")).over(ws).as("session_start_ms"),
+        (max(col("ms")).over(ws) + GapMs).as("session_end_ms"),
+        count(lit(1)).over(ws).as("n_clips"),
+        sum(col("dur")).over(ws).as("total_dur_ms"))
+      .distinct()
+  }
+
   /** clips (clip_id, person_idx, dur_ms, event_time) -> closed sessions.
     * Works on a stream (watermark required upstream for timeouts). */
   def sessions(clips: DataFrame): Dataset[ClipSession] = {

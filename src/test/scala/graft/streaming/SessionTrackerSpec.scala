@@ -75,6 +75,36 @@ class SessionTrackerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessions == declarative sessionsBatch (oracle surface parity)") {
+    // deterministic workload: 6 people, bursts separated by >gap quiet
+    val evts = for {
+      p <- 1 to 6
+      i <- 0 until 20
+    } yield e(p, sec = (i / 5) * 100 + (i % 5) * (3 + p % 3), dur = 500 + i)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SessEvt]
+    val out = SessionTracker.sessions(
+      in.toDF().withWatermark("event_time", "10 seconds"))
+    val q = out.writeStream.format("memory").queryName("sessParity")
+      .outputMode("append").start()
+    try {
+      evts.sortBy(_.event_time.getTime).grouped(35).foreach { bs =>
+        in.addData(bs: _*); q.processAllAvailable()
+      }
+      in.addData(e(9999, 5000)); q.processAllAvailable()
+      in.addData(e(9999, 10000)); q.processAllAvailable()
+      val got = spark.table("sessParity").filter($"person_idx" < 9999)
+        .as[SessionTracker.ClipSession].collect().toSeq
+        .sortBy(s => (s.person_idx, s.session_start_ms))
+      val want = SessionTracker.sessionsBatch(
+        evts.toDF().withColumnRenamed("clip_id", "clip_id"))
+        .as[SessionTracker.ClipSession].collect().toSeq
+        .sortBy(s => (s.person_idx, s.session_start_ms))
+      assert(want.size >= 12) // several sessions per person
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("state survives across batches: session spanning two micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[SessEvt]
