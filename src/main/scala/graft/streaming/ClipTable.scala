@@ -125,6 +125,22 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     }
   }
 
+  /** Incremental maintenance policy: fold deltas into the compacted base
+    * once more than `maxDeltas` accumulate. Bounds the MOR reader's
+    * latest-wins window to O(base + maxDeltas·batch) without requiring
+    * callers to remember `compact()` — the Iceberg analog is a
+    * `rewrite_data_files` maintenance trigger. Returns true if a
+    * compaction ran. Call from a maintenance hook or between batches (it
+    * is synchronized with merge/read on this instance). */
+  def compactIfNeeded(spark: SparkSession, maxDeltas: Int = 16): Boolean = synchronized {
+    if (!mergeOnRead) return false
+    val deltaRoot = Paths.get(root, "delta")
+    if (!Files.exists(deltaRoot)) return false
+    val n = Files.list(deltaRoot)
+      .filter(_.getFileName.toString.startsWith("batch=")).count()
+    if (n > maxDeltas) { compact(spark); true } else false
+  }
+
   private def mergePersisted(spark: SparkSession, incoming: DataFrame,
                              batchId: Long): Unit = {
     recoverSwaps()

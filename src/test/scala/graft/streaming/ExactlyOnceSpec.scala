@@ -60,6 +60,22 @@ class ExactlyOnceSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(trash))
   }
 
+  test("compactIfNeeded folds deltas once past the threshold, rows stable") {
+    val dir = Files.createTempDirectory("tbl-autocompact").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true)
+    (0 until 5).foreach(i => t.merge(Seq((s"k$i", i), ("shared", i)).toDF("k", "v"), i))
+    assert(!t.compactIfNeeded(spark, maxDeltas = 8)) // under threshold
+    val before = t.read(spark).select("k", "v").as[(String, Int)].collect().toMap
+    assert(t.compactIfNeeded(spark, maxDeltas = 3)) // 5 deltas > 3 -> fold
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "delta")))
+    val after = t.read(spark).select("k", "v").as[(String, Int)].collect().toMap
+    assert(after == before && after("shared") == 4) // latest-batch-wins kept
+    // merges keep working after compaction
+    t.merge(Seq(("shared", 99)).toDF("k", "v"), 5)
+    assert(t.read(spark).select("k", "v").as[(String, Int)].collect()
+      .toMap.apply("shared") == 99)
+  }
+
   test("kill after merge-commit, resume from checkpoint: no dupes, batch-identical") {
     val inputDir = Files.createTempDirectory("clips-in").toString
     graft.TestSpark.writeTimeOrdered(ClipGen.clipsDf(spark, 160), inputDir, 8)
