@@ -68,6 +68,29 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenization + quality scoring, part 2: BPE-ish regex token count
+    // (letter runs / digit runs / single punctuation — the GPT-2-style
+    // pre-tokenizer shape, restricted to a regex subset Java and RE2
+    // interpret identically), stopword ratio, punctuation ratio. All
+    // integer-exact (floor x1e4) => hash-oracled.
+    "t4_token_quality" -> ((s, dir) => {
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val stops = Seq("the", "and", "of", "to", "is", "in", "that", "it", "with")
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])"), lit(1))).as("n_bpe_tokens"),
+        nTok.as("n_ws_tokens"),
+        floor(lit(10000.0) *
+          size(filter(split(trim(lower(col("text"))), "\\s+"),
+            t => t.isInCollection(stops)))
+          / nTok).as("stop_x10k"),
+        floor(lit(10000.0) *
+          length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+          / length(col("text"))).as("punct_x10k"))
+        .orderBy("doc_id")
+    }),
+
     // Normalized md5 content digest (the exact-dedup signature).
     "t3_fingerprint_md5" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"), Dedup.digest(col("text")).as("digest"))
@@ -283,6 +306,18 @@ object DocQueries {
         |    / length(text)) AS BIGINT) AS alpha_x10k,
         |  CAST(floor(100.0 * length(regexp_replace(text, '\s+', '', 'g'))
         |    / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avg_wordlen_x100
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_token_quality" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  CAST(floor(10000.0 *
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        t -> t IN ('the','and','of','to','is','in','that','it','with')))
+        |    / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS stop_x10k,
+        |  CAST(floor(10000.0 *
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        |    / length(text)) AS BIGINT) AS punct_x10k
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t3_fingerprint_md5" ->
       """SELECT doc_id,
