@@ -195,21 +195,52 @@ object AudioCodec {
     }
     val s1 = new Array[Double](nBands)
     val s2 = new Array[Double](nBands)
-    var i = 0
-    while (i < n) {
-      val x: Double = codec match {
-        case Pcm16 => (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort) / 32768.0
-        case Ulaw => ulawToLinear(bytes(i)) / 32768.0
-        case Alaw => alawToLinear(bytes(i)) / 32768.0
-        case other => throw new IllegalArgumentException(s"unknown codec: $other")
-      }
+    // per-codec specialized loops: the codec is loop-invariant, and a
+    // per-sample string match defeats the JIT (no reliable loop
+    // unswitching on String equality) — hoisting it is worth ~2x on this
+    // kernel, the CPU-heavy stage of the streaming bench. Arithmetic
+    // order is IDENTICAL in every branch => bit-identical results.
+    @inline def step(x: Double): Unit = {
       var b2 = 0
       while (b2 < nBands) {
         val s0 = x + coeff(b2) * s1(b2) - s2(b2)
         s2(b2) = s1(b2); s1(b2) = s0
         b2 += 1
       }
-      i += 1
+    }
+    // two samples per band visit (pcm16, the 80% codec): halves the
+    // s1/s2 load/store traffic; each step's arithmetic order is identical
+    // to the single-step form => bit-identical results
+    @inline def step2(x0: Double, x1: Double): Unit = {
+      var b2 = 0
+      while (b2 < nBands) {
+        val c = coeff(b2); val a = s1(b2); val d = s2(b2)
+        val e = x0 + c * a - d
+        val f = x1 + c * e - a
+        s2(b2) = e; s1(b2) = f
+        b2 += 1
+      }
+    }
+    codec match {
+      case Pcm16 =>
+        var i = 0
+        while (i + 1 < n) {
+          step2(
+            (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort) / 32768.0,
+            (((bytes(2 * i + 2) & 0xFF) | (bytes(2 * i + 3) << 8)).toShort) / 32768.0)
+          i += 2
+        }
+        while (i < n) {
+          step((((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort) / 32768.0)
+          i += 1
+        }
+      case Ulaw =>
+        var i = 0
+        while (i < n) { step(ulawToLinear(bytes(i)) / 32768.0); i += 1 }
+      case Alaw =>
+        var i = 0
+        while (i < n) { step(alawToLinear(bytes(i)) / 32768.0); i += 1 }
+      case other => throw new IllegalArgumentException(s"unknown codec: $other")
     }
     val out = new Array[Double](nBands)
     b = 0

@@ -62,6 +62,50 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("specialized filterbank loops are bit-identical to the naive kernel") {
+    // Reference: the unspecialized per-sample-dispatch Goertzel loop the
+    // production kernel replaced (same arithmetic order, no blocking).
+    def naive(bytes: Array[Byte], codec: String, srHz: Int, nBands: Int): Array[Double] = {
+      val n = AudioCodec.sampleCount(bytes.length, codec)
+      val coeff = Array.tabulate(nBands) { b =>
+        2.0 * math.cos(2.0 * math.Pi * ((b + 0.5) * srHz / (2.0 * nBands)) / srHz)
+      }
+      val s1 = new Array[Double](nBands); val s2 = new Array[Double](nBands)
+      var i = 0
+      while (i < n) {
+        val x: Double = codec match {
+          case "pcm16" => (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort) / 32768.0
+          case "ulaw"  => AudioCodec.ulawToLinear(bytes(i)) / 32768.0
+          case "alaw"  => AudioCodec.alawToLinear(bytes(i)) / 32768.0
+        }
+        var b = 0
+        while (b < nBands) {
+          val s0 = x + coeff(b) * s1(b) - s2(b)
+          s2(b) = s1(b); s1(b) = s0; b += 1
+        }
+        i += 1
+      }
+      Array.tabulate(nBands) { b =>
+        val e = s1(b) * s1(b) + s2(b) * s2(b) - coeff(b) * s1(b) * s2(b)
+        if (n == 0) 0.0 else e / (n.toDouble * n.toDouble)
+      }
+    }
+    // odd + even sample counts exercise both the step2 main loop and the
+    // single-sample tail of the pcm16 branch
+    for (codec <- AudioCodec.Codecs; len <- Seq(0, 1, 2, 3, 1000, 1001); nb <- Seq(8, 32)) {
+      val sig = AudioSynth.synth(AudioSynth.mix64(len.toLong * nb), 8000, len)
+      val bytes = AudioCodec.encode(sig, codec)
+      val fast = AudioCodec.bandEnergies(bytes, codec, 8000, nb)
+      val slow = naive(bytes, codec, 8000, nb)
+      assert(fast.length == slow.length)
+      fast.zip(slow).zipWithIndex.foreach { case ((f, s), b) =>
+        assert(java.lang.Double.doubleToRawLongBits(f) ==
+          java.lang.Double.doubleToRawLongBits(s),
+          s"codec=$codec len=$len nBands=$nb band=$b: $f != $s")
+      }
+    }
+  }
+
   test("ulaw/alaw byte-level involution sanity") {
     for (s <- Seq[Short](0, 1, -1, 100, -100, 1000, -1000, 32767, -32768)) {
       val u = AudioCodec.ulawToLinear(AudioCodec.linearToUlaw(s))
