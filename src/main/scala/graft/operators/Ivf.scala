@@ -34,10 +34,16 @@ object Ivf {
 
   /** Deterministic Lloyd k-means over a bounded sample of `df`.
     * Init = evenly-strided sample rows (no RNG); `iters` fixed. Empty
-    * cells keep their previous centroid. */
+    * cells keep their previous centroid. The sample is the `sampleN`
+    * lowest ids — orderBy+limit plans as TakeOrderedAndProject (per-
+    * partition top-N heap + driver merge, no full sort shuffle). A bare
+    * limit() would take whichever partitions answer first, making the
+    * centroids (and every downstream cell assignment) run-order dependent. */
   def fit(df: DataFrame, vecCol: String, nList: Int,
-          iters: Int = 10, sampleN: Int = 10000): Array[Array[Float]] = {
-    val sample: Array[Array[Float]] = df.select(vecCol).limit(sampleN)
+          iters: Int = 10, sampleN: Int = 10000,
+          idCol: String = "vec_id"): Array[Array[Float]] = {
+    val sample: Array[Array[Float]] = df
+      .orderBy(col(idCol)).limit(sampleN).select(vecCol)
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.length >= nList, s"sample ${sample.length} < nList $nList")
     val dim = sample.head.length
@@ -128,16 +134,7 @@ object Ivf {
     val cands = cCell.join(broadcast(qCell), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("cand_id"))
-    cands
-      .join(broadcast(q), "query_id")
-      .join(c, "cand_id")
-      .withColumn("score", qcosine_sim(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"),
-        floor(col("score") * 1e6).as("score_x1e6"))
+    Similarity.scoreTopK(cands, q, c, k)
   }
 }
 

@@ -46,20 +46,49 @@ object Similarity {
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 6,
              radius: Int = 1,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(radius >= 0 && radius <= 2,
+      s"multi-probe radius $radius not in [0, 2]; for wider recall use lshKnnTables")
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       vec_lsh_bucket(col(vecCol), lit(nBits)).as("bucket0"))
-    // probes: all bucket codes within `radius` bit flips (distinct by
-    // construction => no duplicate candidate pairs)
-    val q = qBase.select(col("query_id"), col("qv"),
-      explode(filter(sequence(lit(0), lit((1 << nBits) - 1)),
-        c => bit_count(c.bitwiseXOR(col("bucket0"))) <= radius))
-        .as("bucket"))
+    // probes: generate the <=radius bit-flip codes DIRECTLY —
+    // O(nBits^radius) per query row, never an enumerate-and-filter over
+    // the full 2^nBits code space. Distinct by construction (flip index
+    // sets differ) => no duplicate candidate pairs.
+    val b0 = col("bucket0")
+    val masks: Seq[Int] = Seq(0) ++
+      (if (radius >= 1) (0 until nBits).map(1 << _) else Nil) ++
+      (if (radius >= 2)
+        for { i <- 0 until nBits - 1; j <- i + 1 until nBits }
+          yield (1 << i) | (1 << j)
+      else Nil)
+    val probes = array(masks.map(m => b0.bitwiseXOR(lit(m))): _*)
+    val q = qBase.select(col("query_id"), col("qv"), explode(probes).as("bucket"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       vec_lsh_bucket(col(vecCol), lit(nBits)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", qcosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        floor(col("score") * 1e6).as("score_x1e6"))
+  }
+
+  /** Shared candidate-scoring tail for the indexed ANN paths (multi-table
+    * LSH and IVF): given a deduped (query_id, cand_id) candidate set,
+    * rehydrate both vectors by id, score with the quantized cosine, and
+    * keep the top-k per query (ties break on cand_id). One definition so
+    * tie-breaking / score scaling / self-match rules cannot drift between
+    * index types. */
+  private[operators] def scoreTopK(cands: DataFrame, q: DataFrame, c: DataFrame,
+                                   k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    cands
+      .join(broadcast(q), "query_id")
+      .join(c, "cand_id")
       .withColumn("score", qcosine_sim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -88,15 +117,6 @@ object Similarity {
     val cands = cB.join(broadcast(qB), Seq("table", "bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("cand_id"))
-    cands
-      .join(broadcast(q), "query_id")
-      .join(c, "cand_id")
-      .withColumn("score", qcosine_sim(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"),
-        floor(col("score") * 1e6).as("score_x1e6"))
+    scoreTopK(cands, q, c, k)
   }
 }

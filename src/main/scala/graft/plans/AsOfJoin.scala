@@ -39,7 +39,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Option[Expression]) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): LogicalPlan = copy(left = l, right = r)
@@ -47,16 +48,24 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Option[Expression]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  /** The sweep keeps the LAST matching right row in sort order, so ties on
+    * (key, time) resolve to the greatest `rightTieBreak` when one is given
+    * — deterministic regardless of scan/partition order. Without a
+    * tiebreak, which tied row wins is partition-order dependent (callers
+    * needing stable output must supply one, or guarantee unique
+    * (key, time) on the right). */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+        rightTieBreak.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
@@ -133,8 +142,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** Plans AsOfJoinPlan into AsOfJoinExec (injected via GraftExtensions). */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }
@@ -144,10 +153,13 @@ object AsOfJoin {
   /** `left` as-of `right` on `keyCol` equality with the greatest
     * `rightTimeCol` <= `leftTimeCol` (inner). Column names of the two
     * frames should be disjoint apart from the key (rename the right side
-    * first, like any self-join). */
+    * first, like any self-join). `rightTieBreakCol`: among right rows tied
+    * on (key, time), the one with the greatest tiebreak value wins —
+    * supply a unique column for deterministic output under ties. */
   def apply(left: DataFrame, right: DataFrame,
             leftKeyCol: String, rightKeyCol: String,
-            leftTimeCol: String, rightTimeCol: String): DataFrame = {
+            leftTimeCol: String, rightTimeCol: String,
+            rightTieBreakCol: Option[String] = None): DataFrame = {
     val spark = left.sparkSession
     val l = left.filter(col(leftKeyCol).isNotNull && col(leftTimeCol).isNotNull)
     val r = right.filter(col(rightKeyCol).isNotNull && col(rightTimeCol).isNotNull)
@@ -163,7 +175,8 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
     Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKeyCol), attr(rp, rightKeyCol),
-      attr(lp, leftTimeCol), attr(rp, rightTimeCol)))
+      attr(lp, leftTimeCol), attr(rp, rightTimeCol),
+      rightTieBreakCol.map(attr(rp, _))))
   }
 
   def column(c: Column): Expression = Bridge.expression(c)

@@ -227,6 +227,13 @@ object DocQueries {
        |  (sqrt(CAST(sum(x * x) AS DOUBLE)) * sqrt(CAST(sum(y * y) AS DOUBLE)))
        | FROM (SELECT unnest($aCol) AS x, unnest($bCol) AS y))""".stripMargin
 
+  // NOTE (oracle precondition): the t2 winnowing CTEs and the d2 shingle
+  // CTEs assume every document has >= 6 whitespace tokens (>= 4 shingles,
+  // so at least one winnow window). The engine side short-circuits shorter
+  // docs to a whole-text fingerprint, which these oracles do not model —
+  // the inner JOIN would drop such docs. Holds for the driver fixture
+  // (min 10 tokens at every SF, checked 2026-08-16); revisit if the
+  // documents table ever gains micro-docs.
   val oracleSql: Map[String, String] = Map(
     "t2_lang_fingerprints" ->
       s"""WITH ${tokSql("documents")},

@@ -182,7 +182,8 @@ object RelationalQueries {
       val views = ev.filter(col("event_type") === "view")
         .select(col("event_id").as("v_event_id"), col("user_id").as("v_user_id"),
           col("ts").as("v_ts"))
-      graft.plans.AsOfJoin(clicks, views, "user_id", "v_user_id", "ts", "v_ts")
+      graft.plans.AsOfJoin(clicks, views, "user_id", "v_user_id", "ts", "v_ts",
+          rightTieBreakCol = Some("v_event_id"))
         .select(col("event_id"), col("user_id"), col("v_event_id"))
         .orderBy("event_id")
     }),
@@ -277,11 +278,18 @@ object RelationalQueries {
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10 OFFSET 10""".stripMargin,
     "q13_asof_join" ->
-      """SELECT l.event_id, l.user_id, r.event_id AS v_event_id
-        |FROM (SELECT * FROM events WHERE event_type = 'click') l
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
-        |  ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.event_id""".stripMargin,
+      // window formulation rather than DuckDB's native ASOF JOIN: it pins
+      // the tie rule (greatest v_ts, then greatest v_event_id) that the
+      // engine's rightTieBreakCol enforces; native ASOF leaves (key, time)
+      // ties unspecified on both engines
+      """SELECT event_id, user_id, v_event_id FROM (
+        |  SELECT l.event_id, l.user_id, r.event_id AS v_event_id,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |                       ORDER BY r.ts DESC, r.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |  JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |    ON l.user_id = r.user_id AND r.ts <= l.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q8_supplier_part" ->
       """SELECT s_name,
         |  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))), 2)::DOUBLE AS revenue,

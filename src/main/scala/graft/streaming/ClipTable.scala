@@ -35,6 +35,45 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
   private def deltaDir(batchId: Long): Path = Paths.get(root, "delta", s"batch=$batchId")
   private def bucketDir(b: Int): Path = dataDir.resolve(s"bucket=$b")
 
+  /** List a directory eagerly, closing the stream (Files.list holds an FD
+    * until closed — a leak under sub-second triggers where recovery runs
+    * every batch). */
+  private def listDir(p: Path): Seq[Path] =
+    if (!Files.exists(p)) Nil
+    else {
+      val s = Files.list(p)
+      try {
+        val buf = new scala.collection.mutable.ArrayBuffer[Path]
+        val it = s.iterator()
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      } finally s.close()
+    }
+  private def nonEmptyDir(p: Path): Boolean = listDir(p).nonEmpty
+
+  /** Table-format fingerprint. v2 = NUL-joined key columns in the bucket
+    * hash (v1, round 1, used a space — same key strings could land in
+    * different buckets across versions, and a merge that re-buckets
+    * existing rows moves only the buckets it touches). Refusing a
+    * mismatched table turns silent row loss into a loud error; migrate by
+    * reading the old table and re-merging into a fresh root. */
+  private def formatFile: Path = Paths.get(root, "_format")
+  private val formatId = s"v2 keyDelim=nul buckets=$numBuckets keys=${keyCols.mkString(",")}"
+  private def checkOrStampFormat(): Unit = {
+    if (Files.exists(formatFile)) {
+      val have = Files.readString(formatFile).trim
+      require(have == formatId,
+        s"table at $root was written with incompatible format '$have' (this build: '$formatId')")
+    } else {
+      val hasData = nonEmptyDir(dataDir) || nonEmptyDir(compactedDir) ||
+        nonEmptyDir(Paths.get(root, "delta"))
+      require(!hasData,
+        s"table at $root predates the _format marker (round-1 layout); re-merge into a fresh root")
+      Files.createDirectories(Paths.get(root))
+      Files.writeString(formatFile, formatId)
+    }
+  }
+
   def committed(batchId: Long): Boolean =
     Files.exists(commitsDir.resolve(s"batch-$batchId"))
 
@@ -54,6 +93,7 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     * a replayed batch must re-commit its state versions. */
   def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
     val spark = batch.sparkSession
+    checkOrStampFormat()
     Files.createDirectories(commitsDir)
     val incoming0 = batch
       .withColumn("_batch_id", lit(batchId))
@@ -88,14 +128,39 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     * (lineage columns kept as data columns). */
   def compact(spark: SparkSession): Unit = synchronized {
     if (!mergeOnRead) return
+    recoverCompaction()
     val current = read(spark)
     val staging = Paths.get(root, "_compact-staging")
     deleteRecursively(staging)
     current.repartition(numBuckets, col("_bucket"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    deleteRecursively(compactedDir)
+    // Swap via trash (two renames), never delete-then-move: a crash
+    // between a delete and a move would leave the only copy of the folded
+    // base in staging, which the next compact() discards. With the trash
+    // pattern every crash point leaves either the old base restorable
+    // (recoverCompaction) or the new base complete; deltas are dropped
+    // only after the new base is in place.
+    if (Files.exists(compactedDir))
+      Files.move(compactedDir, compactTrash, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, compactedDir, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(compactTrash)
     deleteRecursively(Paths.get(root, "delta"))
+  }
+
+  private def compactTrash: Path = Paths.get(root, "_compact-trash")
+
+  /** Crash recovery for the compaction swap: a leftover `_compact-trash`
+    * with a missing/empty compacted dir means the crash hit between the
+    * two renames — restore the old base (its deltas were not yet deleted,
+    * so base+deltas is still the complete table). A non-empty compacted
+    * dir means the swap finished; drop the trash. */
+  private def recoverCompaction(): Unit = {
+    if (!Files.exists(compactTrash)) return
+    if (nonEmptyDir(compactedDir)) deleteRecursively(compactTrash)
+    else {
+      deleteRecursively(compactedDir)
+      Files.move(compactTrash, compactedDir, StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** Crash recovery for the COW bucket swap: the swap is two renames
@@ -107,17 +172,12 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     * leftover trash; stale `_staging-*` dirs from crashed runs are removed
     * on the next merge of the same batch (SaveMode.Overwrite). */
   private def recoverSwaps(): Unit = {
-    val rootPath = Paths.get(root)
-    if (!Files.exists(rootPath)) return
-    val entries = Files.list(rootPath).iterator()
-    while (entries.hasNext) {
-      val p = entries.next()
+    listDir(Paths.get(root)).foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("_trash-")) {
         val b = name.substring(name.lastIndexOf('-') + 1).toInt
         val dst = bucketDir(b)
-        val dstEmpty = !Files.exists(dst) || !Files.list(dst).findFirst().isPresent
-        if (dstEmpty) {
+        if (!nonEmptyDir(dst)) {
           deleteRecursively(dst)
           Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
         } else deleteRecursively(p)
@@ -134,10 +194,8 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     * is synchronized with merge/read on this instance). */
   def compactIfNeeded(spark: SparkSession, maxDeltas: Int = 16): Boolean = synchronized {
     if (!mergeOnRead) return false
-    val deltaRoot = Paths.get(root, "delta")
-    if (!Files.exists(deltaRoot)) return false
-    val n = Files.list(deltaRoot)
-      .filter(_.getFileName.toString.startsWith("batch=")).count()
+    val n = listDir(Paths.get(root, "delta"))
+      .count(_.getFileName.toString.startsWith("batch="))
     if (n > maxDeltas) { compact(spark); true } else false
   }
 
@@ -195,28 +253,22 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
   /** Current table contents (lineage columns included). MOR readers merge
     * the compacted base with all deltas, latest-batch-wins per key. */
   def read(spark: SparkSession): DataFrame = {
-    if (!mergeOnRead) synchronized { recoverSwaps() }
+    if (Files.exists(formatFile)) {
+      val have = Files.readString(formatFile).trim
+      require(have == formatId,
+        s"table at $root was written with incompatible format '$have' (this reader: '$formatId')")
+    }
+    synchronized { if (mergeOnRead) recoverCompaction() else recoverSwaps() }
     val live = new scala.collection.mutable.ArrayBuffer[String]
-    if (Files.exists(dataDir)) {
-      val dirs = Files.list(dataDir).iterator()
-      while (dirs.hasNext) {
-        val d = dirs.next()
-        if (d.getFileName.toString.startsWith("bucket=") && Files.list(d).findFirst().isPresent)
-          live += d.toString
-      }
-    }
-    if (mergeOnRead && Files.exists(compactedDir) &&
-        Files.list(compactedDir).anyMatch(_.toString.endsWith(".parquet")))
+    live ++= listDir(dataDir)
+      .filter(d => d.getFileName.toString.startsWith("bucket=") && nonEmptyDir(d))
+      .map(_.toString)
+    if (mergeOnRead && listDir(compactedDir).exists(_.toString.endsWith(".parquet")))
       live += compactedDir.toString
-    val deltaRoot = Paths.get(root, "delta")
-    if (mergeOnRead && Files.exists(deltaRoot)) {
-      val dirs = Files.list(deltaRoot).iterator()
-      while (dirs.hasNext) {
-        val d = dirs.next()
-        if (d.getFileName.toString.startsWith("batch=") && Files.list(d).findFirst().isPresent)
-          live += d.toString
-      }
-    }
+    if (mergeOnRead)
+      live ++= listDir(Paths.get(root, "delta"))
+        .filter(d => d.getFileName.toString.startsWith("batch=") && nonEmptyDir(d))
+        .map(_.toString)
     if (live.isEmpty) return spark.emptyDataFrame
     val raw = spark.read.parquet(live.toSeq: _*)
     if (!mergeOnRead) raw

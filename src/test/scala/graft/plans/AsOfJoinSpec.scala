@@ -54,6 +54,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("l-a", "r-1"), ("l-b", "r-2"), ("l-c", "r-3"), ("l-exact", "r-tie")))
   }
 
+  test("ties on (key, time) resolve to the greatest tiebreak, any partitioning") {
+    // Two right rows tied on (key, time): without a tiebreak the winner is
+    // whichever sorted last (partition/scan-order dependent); with
+    // rightTieBreakCol the greatest value must win at every layout.
+    val l = Seq((1L, ts(10), "click")).toDF("k", "t", "tag")
+    val rTied = Seq(
+      (1L, ts(5), "v-02"), (1L, ts(5), "v-10"), (1L, ts(5), "v-07"),
+      (1L, ts(1), "v-99") // earlier time: must lose to the ts(5) group
+    ).toDF("rk", "rt", "rtag")
+    for (parts <- Seq(1, 3, 7)) {
+      val got = AsOfJoin(l, rTied.repartition(parts), "k", "rk", "t", "rt",
+        rightTieBreakCol = Some("rtag"))
+        .select("tag", "rtag").as[(String, String)].collect().toSeq
+      assert(got == Seq(("click", "v-10")), s"parts=$parts => $got")
+    }
+  }
+
   test("physical plan uses AsOfJoinExec with one exchange per side") {
     val plan = AsOfJoin(left, right, "k", "rk", "t", "rt")
       .queryExecution.executedPlan

@@ -60,6 +60,47 @@ class ExactlyOnceSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(trash))
   }
 
+  test("crash between the compaction swap renames is recovered, no data loss") {
+    // compact() swaps via (compacted -> _compact-trash, staging ->
+    // compacted). Simulate a crash after the first rename: the old base is
+    // parked in _compact-trash and the compacted dir is gone, but deltas
+    // (deleted only after the swap completes) are still present —
+    // recovery must restore the base so base+deltas is the full table.
+    val dir = Files.createTempDirectory("tbl-compact-crash").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true)
+    (0 until 3).foreach(i => t.merge(Seq((s"k$i", i), ("shared", i)).toDF("k", "v"), i))
+    t.compact(spark) // base now holds batches 0-2
+    t.merge(Seq(("k9", 9)).toDF("k", "v"), 3) // one new delta
+    val truth = t.read(spark).select("k", "v").as[(String, Int)].collect().toMap
+    val base = java.nio.file.Paths.get(dir, "compacted")
+    val trash = java.nio.file.Paths.get(dir, "_compact-trash")
+    java.nio.file.Files.move(base, trash)
+    // read() alone restores the parked base
+    assert(t.read(spark).select("k", "v").as[(String, Int)].collect().toMap == truth)
+    // crash again, then a full compact() must fold base+delta losslessly
+    java.nio.file.Files.move(base, trash)
+    t.compact(spark)
+    assert(t.read(spark).select("k", "v").as[(String, Int)].collect().toMap == truth)
+    assert(!java.nio.file.Files.exists(trash))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "delta")))
+  }
+
+  test("a table from an incompatible format version is refused, not corrupted") {
+    // v1 (round 1) bucketed on space-joined keys and has no _format marker;
+    // merging into it with the v2 layout would silently lose re-bucketed
+    // rows. Both a missing marker over existing data and a mismatched
+    // marker must fail loudly.
+    val dir = Files.createTempDirectory("tbl-legacy").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true)
+    t.merge(Seq(("a", 1)).toDF("k", "v"), 0)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_format"))
+    intercept[IllegalArgumentException] { t.merge(Seq(("b", 2)).toDF("k", "v"), 1) }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_format"), "v1 keyDelim=space")
+    intercept[IllegalArgumentException] { t.merge(Seq(("b", 2)).toDF("k", "v"), 1) }
+    intercept[IllegalArgumentException] { t.read(spark) }
+  }
+
   test("compactIfNeeded folds deltas once past the threshold, rows stable") {
     val dir = Files.createTempDirectory("tbl-autocompact").toString
     val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true)
