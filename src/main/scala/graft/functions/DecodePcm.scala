@@ -124,6 +124,58 @@ case class PcmBandEnergies(first: Expression, second: Expression, third: Express
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** `pcm_transcode(bytes, codec, target) -> binary` — fused decode +
+  * re-encode (sample count preserved; see AudioCodec.transcode). The
+  * ChromeFetcher-style heavy per-row transform as a codegen'd expression. */
+case class PcmTranscode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == StringType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_transcode expects (binary, string, string), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm_transcode"
+  override def nullSafeEval(bytes: Any, codec: Any, target: Any): Any =
+    AudioCodec.transcode(bytes.asInstanceOf[Array[Byte]],
+      codec.asInstanceOf[UTF8String].toString, target.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, t) =>
+      s"${ev.value} = graft.audio.AudioCodec.transcode($b, $c.toString(), $t.toString());")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `pcm_tone_pair(bytes, codec, sr_hz) -> array<int>` — the two strongest
+  * tones in integer Hz (see AudioCodec.tonePair): the parametric acoustic
+  * fingerprint behind audio near-dup detection. */
+case class PcmTonePair(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_tone_pair expects (binary, string, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pcm_tone_pair"
+  override def nullSafeEval(bytes: Any, codec: Any, sr: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      AudioCodec.tonePair(bytes.asInstanceOf[Array[Byte]],
+        codec.asInstanceOf[UTF8String].toString, sr.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, s) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.audio.AudioCodec.tonePair($b, $c.toString(), $s));")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 object GraftFunctions {
   /** Expression -> Column bridge (Spark 4 classic API). */
   def toColumn(e: Expression): Column = Bridge.column(e)
@@ -141,6 +193,12 @@ object GraftFunctions {
   def pcm_band_energies(bytes: Column, codec: Column, srHz: Column,
                         nBands: Int = 8): Column =
     toColumn(PcmBandEnergies(toExpr(bytes), toExpr(codec), toExpr(srHz), nBands))
+
+  def pcm_transcode(bytes: Column, codec: Column, target: Column): Column =
+    toColumn(PcmTranscode(toExpr(bytes), toExpr(codec), toExpr(target)))
+
+  def pcm_tone_pair(bytes: Column, codec: Column, srHz: Column): Column =
+    toColumn(PcmTonePair(toExpr(bytes), toExpr(codec), toExpr(srHz)))
 
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def rel_url(base: Column, rel: Column): Column =
@@ -169,6 +227,10 @@ object GraftFunctions {
       es => PcmRms(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_band_energies",
       es => PcmBandEnergies(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_transcode",
+      es => PcmTranscode(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_tone_pair",
+      es => PcmTonePair(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rel_url", es => RelUrl(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("extract_attr",

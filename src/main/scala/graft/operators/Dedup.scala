@@ -120,4 +120,36 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), floor(col("cos") * 1e6).as("cos_x1e6"))
   }
+
+  /** AUDIO near-dup: parametric acoustic fingerprints. Each clip is
+    * reduced IN THE SCAN STAGE (decode+DSP runs once, bytes never reach a
+    * shuffle) to (sr, n_samples, f1, f2) — `pcm_tone_pair` estimates the
+    * two strongest tones to integer Hz. The same audio re-encoded through
+    * another codec reproduces (sr, n, f1) EXACTLY (the dominant tone's
+    * integer argmax has enormous noise margin) while the weaker second
+    * tone can fall back to the chirp's swept band and jitter by a few Hz
+    * across re-encodes — so the
+    * plan joins exactly on (sr, n, f1) (one hash shuffle of tiny
+    * fingerprint rows, Dedup.exact discipline; group sizes are bounded by
+    * the key's cardinality) and verifies |Δf2| <= tolHz inside the group.
+    * Spectrally-global features (band-energy vectors) provably CANNOT do
+    * this: tones 1 Hz apart are identical at any fixed band resolution
+    * (measured organic cosine 1.000000 at 64 bands). */
+  def audioNearDup(clips: DataFrame, tolHz: Int = 8,
+                   idCol: String = "clip_id", bytesCol: String = "bytes",
+                   codecCol: String = "codec", srCol: String = "sr_hz"): DataFrame = {
+    val fp = clips.select(col(idCol).as("id"), col(srCol).as("sr"),
+      pcm_sample_count(col(bytesCol), col(codecCol)).as("n"),
+      pcm_tone_pair(col(bytesCol), col(codecCol), col(srCol)).as("tones"))
+      .select(col("id"), col("sr"), col("n"),
+        element_at(col("tones"), 1).as("f1"), element_at(col("tones"), 2).as("f2"))
+    val a = fp.select(col("sr"), col("n"), col("f1"),
+      col("id").as("id_a"), col("f2").as("f2_a"))
+    val b = fp.select(col("sr"), col("n"), col("f1"),
+      col("id").as("id_b"), col("f2").as("f2_b"))
+    a.join(b, Seq("sr", "n", "f1"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("f2_a") - col("f2_b")) <= tolHz)
+      .select(col("id_a"), col("id_b"))
+  }
 }

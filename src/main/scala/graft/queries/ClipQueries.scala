@@ -178,6 +178,28 @@ object ClipQueries {
         .orderBy("person_idx", "session_start_ms")
     }),
 
+    // AUDIO near-duplicate detection, oracled end-to-end against planted
+    // ground truth: every 20th clip gains an in-query "twin" — the SAME
+    // signal transcoded through a different G.711 codec (pcm_transcode) —
+    // and the engine must recover exactly the planted (clip, twin) pairs
+    // FROM THE AUDIO BYTES ALONE (parametric tone-pair fingerprint ->
+    // exact-key join + tolerance verify; no id/metadata reaches the
+    // detector). The oracle states the planted pair set in SQL from
+    // clip_id arithmetic — expressible because recall and precision are
+    // both 1.0 on this corpus (AudioDedupSpec measures the margins).
+    "c14_audio_neardup" -> ((s, dir) => {
+      val clips = ClipGen.readClips(s, dir)
+        .select("clip_id", "bytes", "codec", "sr_hz")
+      val twinCodec = when(col("codec") === "ulaw", lit("alaw")).otherwise(lit("ulaw"))
+      val twins = clips
+        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === 0)
+        .withColumn("bytes", pcm_transcode(col("bytes"), col("codec"), twinCodec))
+        .withColumn("codec", twinCodec)
+        .withColumn("clip_id", concat(col("clip_id"), lit("-t")))
+      graft.operators.Dedup.audioNearDup(clips.unionByName(twins))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
     // country -> region, depth fixed at plan time; leaf level aggregates.
     "c9_multihop" -> ((s, dir) => {
@@ -200,6 +222,15 @@ object ClipQueries {
     val clips = s"read_parquet('${clipsGlob()}')"
     val updates = s"read_parquet('${updatesGlob()}')"
     Map(
+      // The planted ground truth for the audio near-dup detector: the
+      // engine derives pairs from the BYTES (fingerprint/LSH/Jaccard);
+      // the oracle derives them from the planting rule. Equality = the
+      // detector has exact recall and precision on this corpus.
+      "c14_audio_neardup" ->
+        s"""SELECT clip_id AS id_a, clip_id || '-t' AS id_b
+           |FROM $clips
+           |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 0
+           |ORDER BY 1, 2""".stripMargin,
       "c13_custom_sessions" ->
         s"""WITH ev AS (
            |  SELECT person_idx, epoch_ms(event_time) AS ms, dur_ms

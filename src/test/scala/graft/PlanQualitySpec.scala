@@ -114,4 +114,11 @@ class PlanQualitySpec extends AnyFunSuite {
     candidateJoinCarriesOnly("s2_knn_lsh", "bucket",
       Set("qv", "cv", "embedding"))
   }
+
+  test("c14: no audio bytes below the fingerprint-key join") {
+    // the decode+DSP fingerprint reduction must happen in the scan stage;
+    // only (id, sr, n, f1, f2) may ride the near-dup shuffle
+    candidateJoinCarriesOnly("c14_audio_neardup", "f1",
+      Set("bytes", "bytes_a", "bytes_b"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.audio
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.fixtures.ClipGen
+import graft.operators.Dedup
+
+/** Audio near-duplicate detection. The c14 oracle asserts EXACT recall and
+  * precision against planted transcoded twins; this suite measures the
+  * robustness/discrimination properties that make that assertion safe
+  * (parametric tone-pair key; frame-sig shingle gap), plus transcode
+  * fidelity. */
+class AudioDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val N = 60
+  private lazy val rows = (0L until N.toLong).map(ClipGen.clipRow)
+
+  test("transcode preserves sample count and >= 25 dB SNR vs the reference signal") {
+    for (idx <- 0L until 12L) {
+      val r = rows(idx.toInt)
+      val target = if (r.codec == "ulaw") "alaw" else "ulaw"
+      val t = AudioCodec.transcode(r.bytes, r.codec, target)
+      val ref = ClipGen.referencePcm(idx)
+      val dec = AudioCodec.decode(t, target)
+      assert(dec.length == ref.length, s"clip $idx sample count")
+      val snr = AudioCodec.snrDb(ref, dec)
+      assert(snr >= 25.0, s"clip $idx ${r.codec}->$target snr=$snr")
+    }
+  }
+
+  // Design note: a dominant-band-per-frame token sequence (Shazam-flavored)
+  // was evaluated and REJECTED for this corpus: clips whose strongest tone
+  // is constant collapse to identical shingle sets (measured organic
+  // Jaccard 1.0), and 64-band global energy vectors cannot separate tones
+  // 1 Hz apart (measured organic cosine 1.000000). The parametric tone
+  // estimate below is the signal that actually discriminates here.
+  test("tone-pair key: (sr, n, f1) exact for twins, |df2| <= 8; organic keys distinct") {
+    val keys = rows.map { r =>
+      val tp = AudioCodec.tonePair(r.bytes, r.codec, r.sr_hz)
+      (r.sr_hz, AudioCodec.sampleCount(r.bytes.length, r.codec), tp(0), tp(1))
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val target = if (r.codec == "ulaw") "alaw" else "ulaw"
+      val tw = AudioCodec.transcode(r.bytes, r.codec, target)
+      val tp = AudioCodec.tonePair(tw, target, r.sr_hz)
+      val (sr, n, f1, f2) = keys(i)
+      assert(AudioCodec.sampleCount(tw.length, target) == n, s"clip $i n")
+      assert(tp(0) == f1, s"clip $i f1: ${tp(0)} != $f1")
+      assert(math.abs(tp(1) - f2) <= 8, s"clip $i f2: ${tp(1)} vs $f2")
+      assert(r.sr_hz == sr)
+    }
+    // no organic pair matches on (sr, n, f1) with |df2| <= 8
+    for (i <- 0 until N; j <- (i + 1) until N) {
+      val (s1, n1, a1, b1) = keys(i); val (s2, n2, a2, b2) = keys(j)
+      assert(!(s1 == s2 && n1 == n2 && a1 == a2 && math.abs(b1 - b2) <= 8),
+        s"organic collision $i/$j: ${keys(i)}")
+    }
+  }
+
+  test("audioNearDup recovers exactly the planted twin pairs from bytes alone") {
+    import spark.implicits._
+    val base = rows.toDF()
+      .select("clip_id", "bytes", "codec", "sr_hz")
+    val twins = rows.filter(r => r.clip_id.drop(5).toInt % 20 == 0).map { r =>
+      val target = if (r.codec == "ulaw") "alaw" else "ulaw"
+      (r.clip_id + "-t", AudioCodec.transcode(r.bytes, r.codec, target), target, r.sr_hz)
+    }.toDF("clip_id", "bytes", "codec", "sr_hz")
+    val got = Dedup.audioNearDup(base.unionByName(twins))
+      .as[(String, String)].collect().toSet
+    val want = rows.filter(r => r.clip_id.drop(5).toInt % 20 == 0)
+      .map(r => (r.clip_id, r.clip_id + "-t")).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+}
