@@ -272,52 +272,102 @@ object AudioCodec {
   /** Least-squares fit of a sinusoid at integer frequency `f` and its
     * subtraction from `pcm` (one matching-pursuit step). Over many cycles
     * the normal equations diagonalize to 2/n — residual of the fitted tone
-    * is O(1/cycles) of its amplitude, far below any other component. */
+    * is O(1/cycles) of its amplitude, far below any other component.
+    *
+    * cos(w·i)/sin(w·i) advance by a PHASOR RECURRENCE (one 2x2 rotation per
+    * sample) instead of per-sample trig calls: Math.sin/cos pay large-angle
+    * argument reduction (~100 ns/call) and were ~half the whole tonePair
+    * kernel. Rotation drift is O(n·eps) ≈ 1.5e-11 over the 65536-sample
+    * analysis window — 5 orders of magnitude below the G.711 noise floor
+    * the integer-Hz argmax already survives. */
   private def subtractTone(pcm: Array[Float], srHz: Int, f: Int): Array[Float] = {
     val w = 2.0 * math.Pi * f / srHz
+    val cw = math.cos(w); val sw = math.sin(w)
+    var c = 1.0; var s = 0.0 // (cos(w*i), sin(w*i)) at i = 0
     var sc = 0.0; var ss = 0.0
     var i = 0
     while (i < pcm.length) {
       val x = pcm(i).toDouble
-      sc += x * math.cos(w * i); ss += x * math.sin(w * i)
+      sc += x * c; ss += x * s
+      val nc = c * cw - s * sw; s = s * cw + c * sw; c = nc
       i += 1
     }
     val a = 2.0 * sc / pcm.length; val b = 2.0 * ss / pcm.length
     val out = new Array[Float](pcm.length)
+    c = 1.0; s = 0.0
     i = 0
     while (i < pcm.length) {
-      out(i) = (pcm(i) - a * math.cos(w * i) - b * math.sin(w * i)).toFloat
+      out(i) = (pcm(i) - a * c - b * s).toFloat
+      val nc = c * cw - s * sw; s = s * cw + c * sw; c = nc
       i += 1
     }
     out
   }
 
-  /** Strongest tone in [80, min(2600, sr/2)] to integer Hz: coarse
-    * integer-probe scan at ~half-resolution steps on a bounded window,
-    * then an integer refine on a longer window. O(n) per probe. */
+  /** Tone analysis window: scans and the matching-pursuit subtraction read
+    * at most this many samples. A stationary tone's integer-Hz argmax
+    * needs ~sr/w < 1 Hz resolution (65536 @ 44.1 kHz -> 0.67 Hz) and a few
+    * thousand cycles for the least-squares fit — more samples add cost,
+    * not precision. Bounding the window also makes the kernel O(1) per
+    * clip regardless of clip length (a 100 TB corpus property: cost set by
+    * the fingerprint, not the payload). */
+  final val AnalysisWindow = 65536
+
+  /** Strongest tone in [80, min(2600, sr/2)] to integer Hz.
+    *
+    * Three stages, all O(probes · window) Goertzel sums:
+    *  1. coarse scan of the whole band on a SHORT window (512) at
+    *     ~half-bin steps — cheap localization to ~a coarse bin;
+    *  2. a ZOOM PYRAMID: double the window, re-scan only ± the previous
+    *     level's uncertainty at ~half-bin steps. Each level's error is one
+    *     of ITS bins, so the radius halves as the window doubles — total
+    *     cost is a few probes per level instead of (coarse radius) probes
+    *     on the final window. (The flat coarse→refine version did up to
+    *     89 probes × 65536 samples at 44.1 kHz — the pyramid is ~6× less.)
+    *  3. a final ±2 Hz integer polish at the full analysis window.
+    *
+    * Merged-then-split peaks are safe: two tones closer than a level's bin
+    * width appear as one peak there, and both lie inside the next level's
+    * search radius (radius ≥ previous bin ≥ their separation). */
   private def scanTone(pcm: Array[Float], srHz: Int): Int = {
     val lo = 80; val hi = math.min(2600, srHz / 2 - 1)
-    val w1 = math.min(pcm.length, 2048)
+    val wMax = math.min(pcm.length, AnalysisWindow)
+    val w1 = math.min(wMax, 512)
     val res1 = math.max(1.0, srHz.toDouble / w1)
-    val step = math.max(1, math.ceil(res1 / 2).toInt)
+    val step1 = math.max(1, math.ceil(res1 / 2).toInt)
     var bestF = lo; var bestP = -1.0
     var f = lo
     while (f <= hi) {
       val p = goertzelPower(pcm, srHz, f, 0, w1)
       if (p > bestP) { bestP = p; bestF = f }
-      f += step
+      f += step1
     }
-    val w2 = math.min(pcm.length, 65536)
-    val r = math.max(2, 2 * step)
-    var bf = bestF; var bp = -1.0
-    var g = math.max(lo, bestF - r)
-    val end = math.min(hi, bestF + r)
-    while (g <= end) {
-      val p = goertzelPower(pcm, srHz, g, 0, w2)
-      if (p > bp) { bp = p; bf = g }
-      g += 1
+    def scanAround(w: Int, radius: Int, st: Int): Unit = {
+      var bf = bestF; var bp = -1.0
+      var g = math.max(lo, bestF - radius)
+      val end = math.min(hi, bestF + radius)
+      while (g <= end) {
+        val p = goertzelPower(pcm, srHz, g, 0, w)
+        if (p > bp) { bp = p; bf = g }
+        g += st
+      }
+      bestF = bf
     }
-    bf
+    var w = w1
+    var errHz = 2.0 * res1 // coarse argmax lands within ~2 coarse bins
+    var lastSt = step1
+    while (w < wMax) {
+      w = math.min(2L * w, wMax.toLong).toInt
+      val bin = srHz.toDouble / w
+      val st = math.max(1, (bin / 2).toInt)
+      scanAround(w, math.max(2, math.ceil(errHz).toInt), st)
+      errHz = math.max(st.toDouble, bin)
+      lastSt = st
+    }
+    // Integer polish at the full window — only when the last pyramid level
+    // was still striding (short clips): a st=1 level already did this scan.
+    if (lastSt > 1) scanAround(wMax, math.max(2, math.ceil(errHz).toInt), 1)
+    bestF
   }
 
   /** Parametric acoustic fingerprint: the two strongest quasi-stationary
@@ -339,7 +389,16 @@ object AudioCodec {
     * live in [150, 2450] Hz (AudioSynth); real speech would swap this
     * estimator for richer landmarks behind the same expression slot. */
   def tonePair(bytes: Array[Byte], codec: String, srHz: Int): Array[Int] = {
-    val pcm = decode(bytes, codec)
+    // Decode only the analysis prefix: every downstream stage (coarse scan,
+    // refine, fit/subtract) reads at most AnalysisWindow samples, so bytes
+    // past it are never touched — decode cost is O(window), not O(clip).
+    val maxBytes = codec match {
+      case Pcm16 => AnalysisWindow * 2
+      case _     => AnalysisWindow
+    }
+    val b = if (bytes.length <= maxBytes) bytes
+            else java.util.Arrays.copyOf(bytes, maxBytes)
+    val pcm = decode(b, codec)
     if (pcm.length == 0) return Array(0, 0)
     val f1 = scanTone(pcm, srHz)
     val f2 = scanTone(subtractTone(pcm, srHz, f1), srHz)

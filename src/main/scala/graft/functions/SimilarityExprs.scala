@@ -56,6 +56,7 @@ object VectorOps {
     * hyperplanes; sign pattern packed into an int. Deterministic (seeded
     * by graft.audio.AudioSynth.mix64). */
   def hyperplaneBucket(v: ArrayData, nBits: Int): Int = {
+    require(nBits >= 1 && nBits <= 31, s"nBits must be in [1, 31], got $nBits")
     val dim = v.numElements()
     var bucket = 0
     var b = 0
@@ -81,6 +82,11 @@ object VectorOps {
     * Table t's hyperplanes are seeded disjointly from table 0's; table 0
     * equals `hyperplaneBucket`. Returns one packed bucket code per table. */
   def hyperplaneBuckets(v: ArrayData, nBits: Int, nTables: Int): Array[Int] = {
+    // out-of-range parameters yield degenerate buckets (nBits > 31
+    // overflows the Int mask; nTables <= 0 returns no buckets; the
+    // disjoint-seed scheme spaces tables 64 bits apart) — fail loudly
+    require(nBits >= 1 && nBits <= 31, s"nBits must be in [1, 31], got $nBits")
+    require(nTables >= 1 && nTables <= 1024, s"nTables must be in [1, 1024], got $nTables")
     val dim = v.numElements()
     val out = new Array[Int](nTables)
     var t = 0

@@ -57,11 +57,22 @@ object Dedup {
     * Verification touches only the deduplicated LSH candidate PAIRS: texts
     * are rehydrated by two id-joins after the candidate set is distinct, so
     * the only exchanges carrying text are keyed by id (size O(corpus)), not
-    * by band (size O(corpus x bands)). */
+    * by band (size O(corpus x bands)).
+    *
+    * PRECONDITION: `idCol` must be unique per row (duplicate ids would
+    * multiply rehydrated pairs). The rehydration side is defensively
+    * deduplicated so a violated precondition degrades to arbitrary-text-
+    * per-id rather than duplicated output rows.
+    *
+    * Output schema note (changed in r2, kept stable since): the verified
+    * similarity column is `jaccard_x1e4` (floored long; integer-exact
+    * across engines) and the default is bands=16 — callers of the r1
+    * `jaccard` double column / bands=8 default must update. */
   def nearDupJaccard(df: DataFrame, textCol: String, idCol: String,
                      threshold: Double = 0.7, k: Int = 32, bands: Int = 16): DataFrame = {
     val jac = udf((a: String, b: String) => graft.functions.TextOps.jaccard(a, b))
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .dropDuplicates("id")
     minhashLsh(df, textCol, idCol, k, bands)
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
@@ -104,7 +115,9 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.90, nBits: Int = 8,
                        nTables: Int = 16): DataFrame = {
+    // PRECONDITION: idCol unique per row (see nearDupJaccard) — defended
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .dropDuplicates("id")
     val banded = vecs.select(col("id"),
       posexplode(vec_lsh_buckets(col("v"), lit(nBits), lit(nTables)))
         .as(Seq("table", "bucket")))

@@ -139,8 +139,12 @@ object Ivf {
 }
 
 /** nearest_centroid(vec) -> int — cell id under the embedded (tiny)
-  * centroid matrix; codegen'd via a static registry slot so generated code
-  * needs no serialized closure. */
+  * centroid matrix. Codegen resolves the matrix through
+  * `ctx.addReferenceObj`: the object rides the generated plan's serialized
+  * `references` array to every executor JVM (the same mechanism built-in
+  * expressions use for Literal maps etc.), so the expression is cluster-
+  * portable — no process-local registry, no broadcast bookkeeping. The
+  * interpreted path reads the same serialized `cents` field. */
 case class NearestCentroid(child: Expression, cents: Array[Array[Float]])
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -149,20 +153,19 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Float]])
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroid expects array<float>, got $t")
   }
-  private lazy val slot = CentroidRegistry.register(cents)
   override def nullSafeEval(v: Any): Any =
     Ivf.nearestIdx(v.asInstanceOf[ArrayData].toFloatArray(), cents)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val s = slot
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.operators.Ivf.nearestIdx($v.toFloatArray(), " +
-        s"graft.operators.CentroidRegistry.get($s));")
+      s"${ev.value} = graft.operators.Ivf.nearestIdx($v.toFloatArray(), $centsRef);")
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
 
-/** nearest_centroids(vec) -> array<int> — the nProbe nearest cell ids. */
+/** nearest_centroids(vec) -> array<int> — the nProbe nearest cell ids.
+  * Cluster-portable codegen via addReferenceObj (see NearestCentroid). */
 case class NearestCentroids(child: Expression, cents: Array[Array[Float]], nProbe: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -171,36 +174,16 @@ case class NearestCentroids(child: Expression, cents: Array[Array[Float]], nProb
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroids expects array<float>, got $t")
   }
-  private lazy val slot = CentroidRegistry.register(cents)
   override def nullSafeEval(v: Any): Any =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
       Ivf.nearestIdxs(v.asInstanceOf[ArrayData].toFloatArray(), cents, nProbe))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val s = slot
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
         s".fromPrimitiveArray(graft.operators.Ivf.nearestIdxs($v.toFloatArray(), " +
-        s"graft.operators.CentroidRegistry.get($s), $nProbe));")
+        s"$centsRef, $nProbe));")
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
-}
-
-/** Process-wide centroid matrices for codegen (generated Java cannot embed
-  * a float[][] literal cheaply; local[*] shares one JVM — on a real
-  * cluster this slot would ship via a broadcast variable, noted for the
-  * cluster port). Deterministic matrices dedupe by content. */
-object CentroidRegistry {
-  private val slots = new java.util.concurrent.CopyOnWriteArrayList[Array[Array[Float]]]()
-  def register(c: Array[Array[Float]]): Int = synchronized {
-    var i = 0
-    while (i < slots.size()) {
-      if (java.util.Arrays.deepEquals(slots.get(i).asInstanceOf[Array[AnyRef]],
-          c.asInstanceOf[Array[AnyRef]])) return i
-      i += 1
-    }
-    slots.add(c)
-    slots.size() - 1
-  }
-  def get(i: Int): Array[Array[Float]] = slots.get(i)
 }

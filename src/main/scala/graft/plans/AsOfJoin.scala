@@ -173,9 +173,16 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
-    Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
-      attr(lp, leftKeyCol), attr(rp, rightKeyCol),
-      attr(lp, leftTimeCol), attr(rp, rightTimeCol),
+    val (lk, rk) = (attr(lp, leftKeyCol), attr(rp, rightKeyCol))
+    val (lt, rt) = (attr(lp, leftTimeCol), attr(rp, rightTimeCol))
+    // AsOfJoinExec builds key/time orderings from the LEFT side's types and
+    // applies them to right-side UnsafeRows — an int-vs-long mismatch would
+    // silently misread bytes (wrong matches), so reject it at plan time.
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types differ: $leftKeyCol ${lk.dataType} vs $rightKeyCol ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of join time types differ: $leftTimeCol ${lt.dataType} vs $rightTimeCol ${rt.dataType}")
+    Bridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk, lt, rt,
       rightTieBreakCol.map(attr(rp, _))))
   }
 

@@ -83,14 +83,26 @@ object ClipStreamJob {
   }
 
   /** Run any streaming DataFrame into an exactly-once ClipTable MERGE with
-    * checkpoint-resume. Returns the started query. */
+    * checkpoint-resume. Returns the started query.
+    *
+    * Incremental compaction runs between micro-batches once more than
+    * `maxDeltas` MOR deltas accumulate, bounding the reader's latest-wins
+    * window on a long-running stream (the Iceberg `rewrite_data_files`
+    * maintenance analog). Replay-safe: a batch replayed after its delta
+    * was folded re-writes the same rows, and the latest-batch-wins reader
+    * resolves base-vs-delta copies of one batch to identical data. */
   def runToTable(df: DataFrame, table: ClipTable, checkpointDir: String,
                  trigger: Trigger = Trigger.AvailableNow(),
-                 outputMode: String = "append"): StreamingQuery =
+                 outputMode: String = "append",
+                 maxDeltas: Int = 16): StreamingQuery =
     df.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch((batch: DataFrame, batchId: Long) => table.merge(batch, batchId))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.merge(batch, batchId)
+        table.compactIfNeeded(batch.sparkSession, maxDeltas)
+        ()
+      }
       .start()
 }

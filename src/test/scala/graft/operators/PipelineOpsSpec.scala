@@ -194,6 +194,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cells.length > 6, "quantizer collapsed - probing would be a full scan")
   }
 
+  test("NearestCentroid(s) codegen is cluster-portable: serialization-" +
+      "roundtripped expressions evaluate via GENERATED code (executor JVM sim)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val cents = Ivf.fit(embAug, "embedding", nList = 8)
+    def roundtrip[T <: AnyRef](t: T): T = {
+      // how an expression actually reaches an executor: Java serialization
+      // of the (bound) expression tree inside the serialized plan
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(t); oos.close()
+      new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[T]
+    }
+    val in = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false)
+    val remote = roundtrip(NearestCentroid(in, cents): AnyRef)
+      .asInstanceOf[NearestCentroid]
+    val remoteN = roundtrip(NearestCentroids(in, cents, nProbe = 3): AnyRef)
+      .asInstanceOf[NearestCentroids]
+    // GenerateMutableProjection THROWS if codegen fails (no interpreted
+    // fallback) — this is the path that broke with a process-local registry
+    val proj = GenerateMutableProjection.generate(Seq(remote, remoteN))
+    val vecs = embAug.select("embedding").limit(50).collect()
+      .map(_.getSeq[Float](0).toArray)
+    vecs.foreach { v =>
+      val row = new GenericInternalRow(Array[Any](new GenericArrayData(v)))
+      val out = proj(row)
+      assert(out.getInt(0) == Ivf.nearestIdx(v, cents))
+      assert(out.getArray(1).toIntArray().sameElements(Ivf.nearestIdxs(v, cents, 3)))
+    }
+  }
+
   test("LSH ANN recall vs brute force is usable and never scores cross-bucket") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = e.filter($"vec_id" < 20)

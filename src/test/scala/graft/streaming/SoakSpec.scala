@@ -69,11 +69,30 @@ class SoakSpec extends AnyFunSuite {
         }
         sum
       }
+    // incremental-compaction bound: sample the MOR delta count while the
+    // stream runs; with maxDeltas=6 wired into runToTable the count must
+    // never exceed maxDeltas + 1 (one new delta lands before the between-
+    // batch compaction folds them)
+    val soakMaxDeltas = 6
+    var maxDeltasSeen = 0
+    def sampleDeltas(): Unit = {
+      val d = Paths.get(tableDir, "delta")
+      if (Files.exists(d)) {
+        val it = Files.list(d)
+        try {
+          var n = 0
+          val i = it.iterator()
+          while (i.hasNext) { if (i.next().getFileName.toString.startsWith("batch=")) n += 1 }
+          maxDeltasSeen = math.max(maxDeltasSeen, n)
+        } finally it.close()
+      }
+    }
     def awaitFed(n: Long, timeoutMs: Long = 120000): Unit = {
       val t0 = System.currentTimeMillis()
       while (fedRows() < n) {
         assert(System.currentTimeMillis() - t0 < timeoutMs,
           s"timed out waiting for $n rows, have ${fedRows()}")
+        sampleDeltas()
         Thread.sleep(200)
       }
     }
@@ -82,7 +101,8 @@ class SoakSpec extends AnyFunSuite {
       // phase 1: continuous trigger; slices land WHILE the query runs
       parquets.take(2).foreach(reveal)
       val q1 = ClipStreamJob.runToTable(plan(), table, ckpt,
-        Trigger.ProcessingTime("200 milliseconds"), outputMode = "update")
+        Trigger.ProcessingTime("200 milliseconds"), outputMode = "update",
+        maxDeltas = soakMaxDeltas)
       parquets.slice(2, 7).foreach { p => reveal(p); Thread.sleep(300) }
       awaitFed(140) // 7 of 12 slices x 20 rows, drained
       // graceful stop mid-stream (restart injection)
@@ -93,7 +113,8 @@ class SoakSpec extends AnyFunSuite {
 
       // phase 2: restart from the checkpoint, keep feeding live
       val q2 = ClipStreamJob.runToTable(plan(), table, ckpt,
-        Trigger.ProcessingTime("200 milliseconds"), outputMode = "update")
+        Trigger.ProcessingTime("200 milliseconds"), outputMode = "update",
+        maxDeltas = soakMaxDeltas)
       parquets.drop(9).foreach { p => reveal(p); Thread.sleep(300) }
       awaitFed(240) // everything drained (replay may push it past 240)
       q2.stop(); q2.awaitTermination(60000)
@@ -117,6 +138,14 @@ class SoakSpec extends AnyFunSuite {
       //    within delay (30 s) + one slice span of slack
       val alarms = MetricsListener.watermarkLagAlarms(m, maxLagMs = 120000)
       assert(alarms.isEmpty, s"lag alarms: ${alarms.collect().mkString(",")}")
+      // 4) incremental compaction kept the MOR reader bounded: the delta
+      //    count never exceeded maxDeltas + 1 and at least one compaction
+      //    actually folded (24 batches >> maxDeltas=6 forces it)
+      sampleDeltas()
+      assert(maxDeltasSeen <= soakMaxDeltas + 1,
+        s"deltas unbounded: saw $maxDeltasSeen > ${soakMaxDeltas + 1}")
+      assert(Files.exists(Paths.get(tableDir, "compacted")),
+        "no compaction ran during the soak")
     } finally spark.streams.removeListener(listener)
   }
 }
