@@ -405,6 +405,50 @@ object AudioCodec {
     Array(f1, f2)
   }
 
+  /** Normalized cross-correlation of two clips ALIGNED BY THEIR LENGTH
+    * DIFFERENCE: the shorter clip is assumed to be the longer one with
+    * `delta = nLong - nShort` leading samples trimmed, so
+    * long[delta + i] is correlated against short[i] over the first
+    * min(nShort, AnalysisWindow) samples. Returns a value in [-1, 1]
+    * (0 when either side is silent).
+    *
+    * This is the EXACT verify stage of shift-robust audio near-dup: run
+    * only on fingerprint-candidate pairs (never all pairs), it separates
+    * true trimmed/transcoded twins (corr ≈ 1, bounded below by G.711
+    * round-trip SNR) from organic fingerprint collisions (corr ≈ 0 for
+    * unrelated signals) — so detector PRECISION never depends on the
+    * fingerprint key being collision-free at corpus scale. */
+  def alignedCorr(bytesA: Array[Byte], codecA: String,
+                  bytesB: Array[Byte], codecB: String): Double = {
+    val nA = sampleCount(bytesA.length, codecA)
+    val nB = sampleCount(bytesB.length, codecB)
+    val (lb, lc, sb, sc) =
+      if (nA >= nB) (bytesA, codecA, bytesB, codecB) else (bytesB, codecB, bytesA, codecA)
+    val delta = math.abs(nA - nB)
+    val w = math.min(math.min(nA, nB), AnalysisWindow)
+    if (w <= 0) return 0.0
+    // decode only what the window touches
+    def prefix(bytes: Array[Byte], codec: String, samples: Int): Array[Float] = {
+      val maxBytes = codec match {
+        case Pcm16 => samples * 2
+        case _     => samples
+      }
+      decode(if (bytes.length <= maxBytes) bytes
+             else java.util.Arrays.copyOf(bytes, maxBytes), codec)
+    }
+    val a = prefix(lb, lc, delta + w)
+    val b = prefix(sb, sc, w)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < w) {
+      val x = a(delta + i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
   /** Signal-to-noise ratio in dB of `decoded` against reference `signal`. */
   def snrDb(signal: Array[Float], decoded: Array[Float]): Double = {
     require(signal.length == decoded.length,

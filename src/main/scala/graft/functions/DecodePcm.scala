@@ -176,6 +176,36 @@ case class PcmTonePair(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** `pcm_aligned_corr(bytes_a, codec_a, bytes_b, codec_b) -> double` —
+  * normalized cross-correlation with the shorter clip aligned at the
+  * length difference (see AudioCodec.alignedCorr): the exact verify stage
+  * of shift-robust audio near-dup, run on candidate pairs only. */
+case class PcmAlignedCorr(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == BinaryType && fourth.dataType == StringType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_aligned_corr expects (binary, string, binary, string), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType}, ${fourth.dataType})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "pcm_aligned_corr"
+  override def nullSafeEval(ba: Any, ca: Any, bb: Any, cb: Any): Any =
+    AudioCodec.alignedCorr(
+      ba.asInstanceOf[Array[Byte]], ca.asInstanceOf[UTF8String].toString,
+      bb.asInstanceOf[Array[Byte]], cb.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ba, ca, bb, cb) =>
+      s"${ev.value} = graft.audio.AudioCodec.alignedCorr(" +
+        s"$ba, $ca.toString(), $bb, $cb.toString());")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+}
+
 object GraftFunctions {
   /** Expression -> Column bridge (Spark 4 classic API). */
   def toColumn(e: Expression): Column = Bridge.column(e)
@@ -200,7 +230,13 @@ object GraftFunctions {
   def pcm_tone_pair(bytes: Column, codec: Column, srHz: Column): Column =
     toColumn(PcmTonePair(toExpr(bytes), toExpr(codec), toExpr(srHz)))
 
+  def pcm_aligned_corr(bytesA: Column, codecA: Column,
+                       bytesB: Column, codecB: Column): Column =
+    toColumn(PcmAlignedCorr(toExpr(bytesA), toExpr(codecA),
+      toExpr(bytesB), toExpr(codecB)))
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
+  def lang_id_ngram(text: Column): Column = toColumn(LangIdNgram(toExpr(text)))
   def rel_url(base: Column, rel: Column): Column =
     toColumn(RelUrl(toExpr(base), toExpr(rel)))
   def sim_hash(text: Column): Column = toColumn(SimHash(toExpr(text)))
@@ -231,7 +267,11 @@ object GraftFunctions {
       es => PcmTranscode(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_tone_pair",
       es => PcmTonePair(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_aligned_corr",
+      es => PcmAlignedCorr(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id_ngram",
+      es => LangIdNgram(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rel_url", es => RelUrl(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("extract_attr",
       es => graft.operators.ExtractAttr(es(0), es(1), es(2)), "scala_udf")

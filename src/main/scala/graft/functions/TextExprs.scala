@@ -54,6 +54,156 @@ object TextOps {
   def tokenize(text: String): Array[String] =
     text.trim.split("\\s+").filter(_.nonEmpty)
 
+  // ------------------------------------------- n-gram profile language-ID
+
+  /** Character-trigram profile language-ID (Cavnar & Trenkle, "N-Gram-Based
+    * Text Categorization", 1994 — public algorithm): each language is a
+    * ranked list of its most frequent character trigrams, a document is
+    * classified to the language minimizing the OUT-OF-PLACE distance
+    * between its own trigram ranking and the language profile. Profiles
+    * are built at class-init from small embedded seed paragraphs (original
+    * text), so the expression stays dependency-free and deterministic.
+    *
+    * Compared to the marker-stopword heuristic (`langId`, kept as the
+    * oracled variant — profile tables are not reasonably SQL-expressible):
+    * this classifies sentences containing NO marker stopwords, and uses
+    * accents/orthography (é/ü/ñ, sch/tion/ción) as evidence. Script
+    * shortcuts (CJK -> zh, Cyrillic -> ru) match langId. */
+  object LangProfiles {
+    val ProfileSize = 300
+    /** Seed paragraphs (original text written for this table). */
+    private val seeds: Seq[(String, String)] = Seq(
+      "en" -> ("the weather was cold and the children walked to school " +
+        "with their books. she said that it would rain before the evening " +
+        "and that they should bring something warm to wear. there is " +
+        "always a reason to stay and watch the light change over the " +
+        "water. people often forget how much work goes into making bread " +
+        "at home. you need time, patience, and a warm place for the dough " +
+        "to rise. when it finally comes out of the oven, the whole house " +
+        "smells wonderful. a question without an answer is still worth " +
+        "asking, because thinking about it teaches you what you believe."),
+      "es" -> ("el tiempo era frío y los niños caminaban a la escuela con " +
+        "sus libros. ella dijo que llovería antes de la tarde y que " +
+        "deberían llevar algo caliente. siempre hay una razón para " +
+        "quedarse y mirar la luz cambiar sobre el agua. la gente a menudo " +
+        "olvida cuánto trabajo lleva hacer pan en casa. se necesita " +
+        "tiempo, paciencia y un lugar cálido para que la masa suba. " +
+        "cuando finalmente sale del horno, toda la casa huele maravilloso. " +
+        "una pregunta sin respuesta sigue valiendo la pena, porque pensar " +
+        "en ella te enseña lo que crees."),
+      "de" -> ("das wetter war kalt und die kinder gingen mit ihren " +
+        "büchern zur schule. sie sagte, dass es vor dem abend regnen " +
+        "würde und dass sie etwas warmes mitbringen sollten. es gibt " +
+        "immer einen grund zu bleiben und zu sehen, wie sich das licht " +
+        "über dem wasser verändert. die leute vergessen oft, wie viel " +
+        "arbeit es macht, zu hause brot zu backen. man braucht zeit, " +
+        "geduld und einen warmen ort, damit der teig aufgehen kann. wenn " +
+        "es endlich aus dem ofen kommt, riecht das ganze haus wunderbar. " +
+        "eine frage ohne antwort ist immer noch wertvoll, weil das " +
+        "nachdenken darüber zeigt, was man glaubt."),
+      "fr" -> ("le temps était froid et les enfants marchaient à l'école " +
+        "avec leurs livres. elle a dit qu'il pleuvrait avant le soir et " +
+        "qu'ils devraient apporter quelque chose de chaud. il y a " +
+        "toujours une raison de rester et de regarder la lumière changer " +
+        "sur l'eau. les gens oublient souvent combien de travail il faut " +
+        "pour faire du pain à la maison. il faut du temps, de la patience " +
+        "et un endroit chaud pour que la pâte lève. quand il sort enfin " +
+        "du four, toute la maison sent merveilleusement bon. une question " +
+        "sans réponse vaut encore la peine, parce qu'y réfléchir montre " +
+        "ce que l'on croit."))
+
+    /** Normalize: lowercase, non-letters -> single spaces, padded. */
+    def normalize(text: String): String = {
+      val sb = new java.lang.StringBuilder(text.length + 2)
+      sb.append(' ')
+      var lastSpace = true
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (Character.isLetter(c)) {
+          sb.append(Character.toLowerCase(c)); lastSpace = false
+        } else if (!lastSpace) { sb.append(' '); lastSpace = true }
+        i += 1
+      }
+      if (!lastSpace) sb.append(' ')
+      sb.toString
+    }
+
+    /** Trigram -> frequency over the normalized text (all-space trigrams
+      * skipped); text bounded to `maxChars` for per-row cost control. */
+    def trigramCounts(text: String, maxChars: Int = 4096): java.util.HashMap[String, Integer] = {
+      val s = normalize(if (text.length > maxChars) text.substring(0, maxChars) else text)
+      val m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i + 3 <= s.length) {
+        val g = s.substring(i, i + 3)
+        if (!(g.charAt(1) == ' '))
+          m.merge(g, Integer.valueOf(1), (a, b) => Integer.valueOf(a.intValue + b.intValue))
+        i += 1
+      }
+      m
+    }
+
+    /** Ranked profile: trigram -> rank (0 = most frequent), ties broken
+      * lexicographically for determinism, truncated to ProfileSize. */
+    def rankedProfile(counts: java.util.HashMap[String, Integer]): java.util.HashMap[String, Integer] = {
+      val entries = new java.util.ArrayList(counts.entrySet())
+      entries.sort { (a, b) =>
+        val c = Integer.compare(b.getValue.intValue, a.getValue.intValue)
+        if (c != 0) c else a.getKey.compareTo(b.getKey)
+      }
+      val out = new java.util.HashMap[String, Integer]()
+      var r = 0
+      val n = math.min(entries.size(), ProfileSize)
+      while (r < n) { out.put(entries.get(r).getKey, Integer.valueOf(r)); r += 1 }
+      out
+    }
+
+    val languages: Array[String] = seeds.map(_._1).toArray
+    val profiles: Array[java.util.HashMap[String, Integer]] =
+      seeds.map { case (_, s) => rankedProfile(trigramCounts(s, Int.MaxValue)) }.toArray
+  }
+
+  /** N-gram-profile language-ID (see LangProfiles). Same output domain as
+    * `langId` ("en"/"es"/"de"/"fr"/"zh"/"ru"/"und"). */
+  def langIdNgram(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var i = 0
+    var cjk = 0; var cyr = 0; var letters = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+      else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      if (Character.isLetter(c)) letters += 1
+      i += 1
+    }
+    if (letters < 3) return "und"
+    if (cjk * 10 >= letters) return "zh"
+    if (cyr * 10 >= letters) return "ru"
+    val doc = LangProfiles.rankedProfile(LangProfiles.trigramCounts(text))
+    if (doc.isEmpty) return "und"
+    val maxRank = LangProfiles.ProfileSize
+    var best = -1; var bestD = Long.MaxValue
+    var l = 0
+    while (l < LangProfiles.languages.length) {
+      val prof = LangProfiles.profiles(l)
+      var d = 0L
+      val it = doc.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val pr = prof.get(e.getKey)
+        d += (if (pr == null) maxRank
+              else math.abs(e.getValue.intValue - pr.intValue))
+      }
+      if (d < bestD) { bestD = d; best = l }
+      l += 1
+    }
+    // confidence gate: a document whose every trigram is out-of-profile
+    // (distance == docSize * maxRank) matches nothing
+    if (bestD >= doc.size().toLong * maxRank) "und"
+    else LangProfiles.languages(best)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -265,6 +415,23 @@ case class LangId(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
         s"graft.functions.TextOps.langId($c.toString()));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** lang_id_ngram(text) -> string — the Cavnar-Trenkle trigram-profile
+  * variant (see TextOps.langIdNgram); same output domain as lang_id. */
+case class LangIdNgram(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id_ngram"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"lang_id_ngram expects string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(TextOps.langIdNgram(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextOps.langIdNgram($c.toString()));")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 

@@ -148,6 +148,69 @@ object Dedup {
     * Spectrally-global features (band-energy vectors) provably CANNOT do
     * this: tones 1 Hz apart are identical at any fixed band resolution
     * (measured organic cosine 1.000000 at 64 bands). */
+  /** TIME-SHIFT-ROBUST audio near-dup: recovers twins with up to `maxTrim`
+    * leading samples trimmed (and/or a codec transcode).
+    *
+    * Two stages, both 100 TB-shaped:
+    *
+    *  1. CANDIDATES from fingerprints only (bytes never below the join):
+    *     the tone estimates are shift-invariant (stationary tones keep
+    *     their integer-Hz argmax under a phase shift), so the key is
+    *     (sr, f1, duration-bucket) — `n` leaves the exact key (trim
+    *     changes it) for a bucket of width > maxTrim, each row emitting
+    *     buckets {n/B, n/B + 1} so any pair with |Δn| <= maxTrim shares a
+    *     bucket. In-group filters: |Δn| <= maxTrim, |Δf2| <= tolHz (wider
+    *     than audioNearDup's: a trim shifts the chirp band f2 falls back
+    *     to by rate·trim/sr, up to ~7 Hz on the fixture).
+    *  2. EXACT VERIFY on rehydrated candidate bytes: normalized cross-
+    *     correlation aligned at the length difference
+    *     (`pcm_aligned_corr` >= minCorr). True twins sit near 1 (bounded
+    *     by G.711 round-trip SNR ≈ 30 dB => corr ≈ 0.999); unrelated
+    *     signals near 0 — so PRECISION comes from the verify, not from
+    *     hoping the fingerprint key is collision-free at corpus scale
+    *     (expected organic (sr,f1,Δn,Δf2) collisions grow ~n² and WILL
+    *     appear at 10^12 rows; each costs one bounded verify, not a wrong
+    *     answer).
+    *
+    * Skew note: group sizes are bounded by the (sr, f1, bucket) key
+    * cardinality; a corpus of near-identical tones would hot-spot one key
+    * and should pre-salt the join (Salting.saltedAgg discipline). */
+  def audioNearDupShift(clips: DataFrame, maxTrim: Int = 160, tolHz: Int = 16,
+                        minCorr: Double = 0.8,
+                        idCol: String = "clip_id", bytesCol: String = "bytes",
+                        codecCol: String = "codec", srCol: String = "sr_hz"): DataFrame = {
+    require(maxTrim >= 0, s"maxTrim must be >= 0, got $maxTrim")
+    val bucketW = math.max(256, maxTrim + 1)
+    val fp = clips.select(col(idCol).as("id"), col(srCol).as("sr"),
+      pcm_sample_count(col(bytesCol), col(codecCol)).as("n"),
+      pcm_tone_pair(col(bytesCol), col(codecCol), col(srCol)).as("tones"))
+      .select(col("id"), col("sr"), col("n"),
+        element_at(col("tones"), 1).as("f1"), element_at(col("tones"), 2).as("f2"))
+      .select(col("id"), col("sr"), col("n"), col("f1"), col("f2"),
+        explode(array((col("n") / bucketW).cast("int"),
+          (col("n") / bucketW).cast("int") + 1)).as("nb"))
+    val a = fp.select(col("sr"), col("f1"), col("nb"), col("id").as("id_a"),
+      col("n").as("n_a"), col("f2").as("f2_a"))
+    val b = fp.select(col("sr"), col("f1"), col("nb"), col("id").as("id_b"),
+      col("n").as("n_b"), col("f2").as("f2_b"))
+    val cands = a.join(b, Seq("sr", "f1", "nb"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("n_a") - col("n_b")) <= maxTrim)
+      .filter(abs(col("f2_a") - col("f2_b")) <= tolHz)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val payload = clips.select(col(idCol).as("id"),
+      col(bytesCol).as("pbytes"), col(codecCol).as("pcodec"))
+    cands
+      .join(payload.select(col("id").as("id_a"),
+        col("pbytes").as("bytes_a"), col("pcodec").as("codec_a")), "id_a")
+      .join(payload.select(col("id").as("id_b"),
+        col("pbytes").as("bytes_b"), col("pcodec").as("codec_b")), "id_b")
+      .filter(pcm_aligned_corr(col("bytes_a"), col("codec_a"),
+        col("bytes_b"), col("codec_b")) >= minCorr)
+      .select(col("id_a"), col("id_b"))
+  }
+
   def audioNearDup(clips: DataFrame, tolHz: Int = 8,
                    idCol: String = "clip_id", bytesCol: String = "bytes",
                    codecCol: String = "codec", srCol: String = "sr_hz"): DataFrame = {

@@ -200,6 +200,29 @@ object ClipQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // TIME-SHIFT-ROBUST audio near-dup, oracled like c14 but with a
+    // harder planting rule: every 20th clip (residue 10, disjoint from
+    // c14's twins) gains a twin that is BOTH trimmed (160 leading samples
+    // dropped from the encoded bytes) AND transcoded through the other
+    // G.711 codec. audioNearDup's exact-(sr, n, f1) key cannot see these
+    // (n changed); audioNearDupShift's duration-bucketed candidates +
+    // aligned-cross-correlation verify must recover exactly the planted
+    // pairs from the bytes alone (recall AND precision 1.0).
+    "c15_audio_neardup_shift" -> ((s, dir) => {
+      val clips = ClipGen.readClips(s, dir)
+        .select("clip_id", "bytes", "codec", "sr_hz")
+      val twinCodec = when(col("codec") === "ulaw", lit("alaw")).otherwise(lit("ulaw"))
+      val trimmed = expr(
+        "substring(bytes, CASE WHEN codec = 'pcm16' THEN 321 ELSE 161 END)")
+      val twins = clips
+        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === 10)
+        .withColumn("bytes", pcm_transcode(trimmed, col("codec"), twinCodec))
+        .withColumn("codec", twinCodec)
+        .withColumn("clip_id", concat(col("clip_id"), lit("-s")))
+      graft.operators.Dedup.audioNearDupShift(clips.unionByName(twins))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
     // country -> region, depth fixed at plan time; leaf level aggregates.
     "c9_multihop" -> ((s, dir) => {
@@ -230,6 +253,11 @@ object ClipQueries {
         s"""SELECT clip_id AS id_a, clip_id || '-t' AS id_b
            |FROM $clips
            |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 0
+           |ORDER BY 1, 2""".stripMargin,
+      "c15_audio_neardup_shift" ->
+        s"""SELECT clip_id AS id_a, clip_id || '-s' AS id_b
+           |FROM $clips
+           |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 10
            |ORDER BY 1, 2""".stripMargin,
       "c13_custom_sessions" ->
         s"""WITH ev AS (

@@ -121,4 +121,11 @@ class PlanQualitySpec extends AnyFunSuite {
     candidateJoinCarriesOnly("c14_audio_neardup", "f1",
       Set("bytes", "bytes_a", "bytes_b"))
   }
+
+  test("c15: no audio bytes below the shift-robust candidate join") {
+    // bytes may only ride the post-distinct id-keyed rehydration joins,
+    // never the (sr, f1, nb) candidate shuffle
+    candidateJoinCarriesOnly("c15_audio_neardup_shift", "nb",
+      Set("bytes", "bytes_a", "bytes_b", "pbytes"))
+  }
 }

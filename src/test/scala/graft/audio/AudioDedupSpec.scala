@@ -59,6 +59,55 @@ class AudioDedupSpec extends AnyFunSuite {
     }
   }
 
+  private def trimBytes(bytes: Array[Byte], codec: String, samples: Int): Array[Byte] = {
+    val nb = if (codec == "pcm16") samples * 2 else samples
+    java.util.Arrays.copyOfRange(bytes, nb, bytes.length)
+  }
+
+  test("tone key is shift-invariant: trimmed+transcoded twin keeps f1 exactly, f2 within 16 Hz") {
+    rows.foreach { r =>
+      val tp = AudioCodec.tonePair(r.bytes, r.codec, r.sr_hz)
+      val target = if (r.codec == "ulaw") "alaw" else "ulaw"
+      val tw = AudioCodec.transcode(trimBytes(r.bytes, r.codec, 160), r.codec, target)
+      val tt = AudioCodec.tonePair(tw, target, r.sr_hz)
+      assert(tt(0) == tp(0), s"${r.clip_id} f1 flipped under trim: ${tt(0)} != ${tp(0)}")
+      assert(math.abs(tt(1) - tp(1)) <= 16,
+        s"${r.clip_id} f2 drifted under trim: ${tt(1)} vs ${tp(1)}")
+      assert(AudioCodec.sampleCount(tw.length, target) ==
+        AudioCodec.sampleCount(r.bytes.length, r.codec) - 160)
+    }
+  }
+
+  test("alignedCorr separates twins (~1) from unrelated clips (~0)") {
+    for (idx <- 0 until 12) {
+      val r = rows(idx)
+      val target = if (r.codec == "ulaw") "alaw" else "ulaw"
+      val tw = AudioCodec.transcode(trimBytes(r.bytes, r.codec, 160), r.codec, target)
+      val self = AudioCodec.alignedCorr(r.bytes, r.codec, tw, target)
+      assert(self >= 0.99, s"clip $idx twin corr=$self")
+      val other = rows((idx + 1) % rows.length)
+      val cross = AudioCodec.alignedCorr(r.bytes, r.codec, other.bytes, other.codec)
+      assert(math.abs(cross) <= 0.35, s"clip $idx cross corr=$cross")
+    }
+  }
+
+  test("audioNearDupShift recovers exactly the planted trimmed+transcoded pairs") {
+    import spark.implicits._
+    val base = rows.toDF().select("clip_id", "bytes", "codec", "sr_hz")
+    val twins = rows.filter(r => r.clip_id.drop(5).toInt % 20 == 10).map { r =>
+      val target = if (r.codec == "ulaw") "alaw" else "ulaw"
+      (r.clip_id + "-s",
+        AudioCodec.transcode(trimBytes(r.bytes, r.codec, 160), r.codec, target),
+        target, r.sr_hz)
+    }.toDF("clip_id", "bytes", "codec", "sr_hz")
+    val got = Dedup.audioNearDupShift(base.unionByName(twins))
+      .as[(String, String)].collect().toSet
+    val want = rows.filter(r => r.clip_id.drop(5).toInt % 20 == 10)
+      .map(r => (r.clip_id, r.clip_id + "-s")).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"missing: ${want.diff(got)}, extra: ${got.diff(want)}")
+  }
+
   test("audioNearDup recovers exactly the planted twin pairs from bytes alone") {
     import spark.implicits._
     val base = rows.toDF()

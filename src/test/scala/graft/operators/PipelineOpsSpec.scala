@@ -26,6 +26,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(TextOps.langId("") == "und")
   }
 
+  test("lang_id_ngram beats the marker heuristic on held-out sentences") {
+    // Held-out sentences (disjoint from the embedded seed paragraphs),
+    // including marker-free ones the stopword heuristic cannot classify.
+    val heldOut: Seq[(String, String)] = Seq(
+      "en" -> "my brother plays football every sunday afternoon near our house",
+      "en" -> "green apples taste better when slightly cold",
+      "en" -> "could you tell me where i might find a decent bookshop around here",
+      "en" -> "strong coffee keeps me awake during long winter nights",
+      "es" -> "mi hermano juega al fútbol todos los domingos por la tarde",
+      "es" -> "las manzanas verdes saben mejor cuando están un poco frías",
+      "es" -> "¿podría decirme dónde encuentro una buena librería por aquí?",
+      "es" -> "el café fuerte me mantiene despierto durante las noches largas",
+      "de" -> "mein bruder spielt jeden sonntagnachmittag fußball im park",
+      "de" -> "grüne äpfel schmecken besser, wenn sie etwas kälter sind",
+      "de" -> "könnten sie mir sagen, wo ich hier eine gute buchhandlung finde?",
+      "de" -> "starker kaffee hält mich in langen winternächten wach",
+      "fr" -> "mon frère joue au football tous les dimanches après-midi",
+      "fr" -> "les pommes vertes ont meilleur goût quand elles sont fraîches",
+      "fr" -> "pourriez-vous me dire où trouver une bonne librairie par ici ?",
+      "fr" -> "un café fort me tient éveillé pendant les longues nuits d'hiver",
+      "zh" -> "今天天气很好我们去公园散步吧",
+      "ru" -> "сегодня хорошая погода и мы идём гулять в парк")
+    val ngramRight = heldOut.count { case (l, s) => TextOps.langIdNgram(s) == l }
+    val markerRight = heldOut.count { case (l, s) => TextOps.langId(s) == l }
+    assert(ngramRight >= (heldOut.size * 0.9).toInt,
+      s"ngram accuracy $ngramRight/${heldOut.size}: " +
+        heldOut.map { case (l, s) => s"$l->${TextOps.langIdNgram(s)}" }.mkString(", "))
+    assert(ngramRight > markerRight,
+      s"ngram ($ngramRight) should beat markers ($markerRight) on held-out text")
+    // degenerate inputs stay und
+    assert(TextOps.langIdNgram("") == "und")
+    assert(TextOps.langIdNgram("12345 --- !!!") == "und")
+  }
+
   test("simhash: identical texts collide, near texts are close, far texts far") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val b = a + " appended"
@@ -192,6 +226,73 @@ class PipelineOpsSpec extends AnyFunSuite {
     val cells = embAug.select(Ivf.cellCol($"embedding", cents).as("cell"))
       .groupBy("cell").count().collect()
     assert(cells.length > 6, "quantizer collapsed - probing would be a full scan")
+  }
+
+  test("Tuning: helper-chosen parameters meet their target recall on the planted fixture") {
+    // analytic S-curves: monotone in the amplification parameter and
+    // consistent with the stated formula at the endpoints
+    assert(Tuning.minhashRecall(1.0, 32, 8) == 1.0)
+    assert(Tuning.minhashRecall(0.7, 32, 16) > Tuning.minhashRecall(0.7, 32, 8))
+    assert(Tuning.hyperplaneRecall(0.9, 4, 16) > Tuning.hyperplaneRecall(0.9, 4, 8))
+
+    // MinHash: chosen bands must clear the target at the threshold and the
+    // next-more-selective divisor must not (the choice is tight)
+    val bands = Tuning.minhashBandsFor(k = 32, threshold = 0.7, targetRecall = 0.95)
+    assert(Tuning.minhashRecall(0.7, 32, bands) >= 0.95)
+    val tighter = (1 until bands).filter(32 % _ == 0)
+    assert(tighter.forall(b => Tuning.minhashRecall(0.7, 32, b) < 0.95),
+      s"bands=$bands not minimal")
+
+    // Hyperplane LSH: chosen tables recover EVERY planted embedding pair
+    // at the d4 threshold (planted cosines ~0.84-0.9; ask for recall at
+    // threshold 0.8 => per-pair candidate prob >= 0.95, and the exact
+    // verify keeps precision)
+    val nTables = Tuning.hyperplaneTablesFor(nBits = 4, threshold = 0.85,
+      targetRecall = 0.97)
+    assert(Tuning.hyperplaneRecall(0.85, 4, nTables) >= 0.97)
+    val pairs = Dedup.embeddingNearDup(embAug, "embedding", "vec_id",
+      threshold = 0.8, nBits = 4, nTables = nTables)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    import graft.functions.GraftFunctions._
+    val fam = embAug.filter($"vec_id" % 10000 < 8)
+    val a = fam.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val b = fam.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val want = a.join(b, $"id_a" < $"id_b")
+      .filter(qcosine_sim($"va", $"vb") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // amplified OR-recall 0.97/pair on ~30 pairs: tolerate at most one miss
+    assert(want.diff(pairs).size <= math.max(1, (want.size * 0.03).toInt),
+      s"missed ${want.diff(pairs).size} of ${want.size} planted pairs with $nTables tables")
+
+    // IVF: empirically chosen nProbe recovers the true top-1 for >= 95%
+    // of the sampled queries when actually probing
+    val cents = Ivf.fit(embAug, "embedding", nList = 32)
+    val corpus = embAug.orderBy("vec_id").limit(400)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val queries = embAug.filter($"vec_id" < 8)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val nProbe = Tuning.ivfProbesFor(corpus, queries, cents, targetRecall = 0.95)
+    assert(nProbe >= 1 && nProbe <= 32)
+    val hits = queries.count { q =>
+      val probed = Ivf.nearestIdxs(q, cents, nProbe).toSet
+      var best: Array[Float] = null; var bestC = -2.0
+      corpus.foreach { v =>
+        if (!java.util.Arrays.equals(v, q)) {
+          val c = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < v.length) {
+              dot += q(i).toDouble * v(i); na += q(i).toDouble * q(i)
+              nb += v(i).toDouble * v(i); i += 1
+            }
+            if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+          }
+          if (c > bestC) { bestC = c; best = v }
+        }
+      }
+      probed.contains(Ivf.nearestIdx(best, cents))
+    }
+    assert(hits >= math.ceil(queries.length * 0.95).toInt,
+      s"nProbe=$nProbe recovered only $hits/${queries.length} true top-1 cells")
   }
 
   test("NearestCentroid(s) codegen is cluster-portable: serialization-" +
