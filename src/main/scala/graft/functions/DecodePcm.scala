@@ -240,6 +240,8 @@ object GraftFunctions {
   def rel_url(base: Column, rel: Column): Column =
     toColumn(RelUrl(toExpr(base), toExpr(rel)))
   def sim_hash(text: Column): Column = toColumn(SimHash(toExpr(text)))
+  def jaccard_sim(a: Column, b: Column): Column =
+    toColumn(JaccardSim(toExpr(a), toExpr(b)))
   def min_hash(text: Column, k: Column): Column =
     toColumn(MinHashSig(toExpr(text), toExpr(k)))
   def winnow_fp(text: Column): Column = toColumn(WinnowFingerprint(toExpr(text)))
@@ -276,6 +278,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("extract_attr",
       es => graft.operators.ExtractAttr(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("sim_hash", es => SimHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_sim",
+      es => JaccardSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("min_hash", es => MinHashSig(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fp", es => WinnowFingerprint(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")

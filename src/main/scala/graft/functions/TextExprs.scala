@@ -435,6 +435,28 @@ case class LangIdNgram(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** jaccard_sim(a, b) -> double — exact word-3-gram shingle Jaccard (the
+  * verify stage of MinHash-LSH near-dup). Native expression so the verify
+  * stays inside whole-stage codegen (it runs only on candidate pairs, but
+  * a UDF there would still box two full texts per row). */
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sim expects (string, string), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.jaccard(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextOps.jaccard(" +
+        s"$a.toString(), $b.toString(), 3);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** sim_hash(text) -> long */
 case class SimHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

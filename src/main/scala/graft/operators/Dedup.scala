@@ -70,13 +70,12 @@ object Dedup {
     * `jaccard` double column / bands=8 default must update. */
   def nearDupJaccard(df: DataFrame, textCol: String, idCol: String,
                      threshold: Double = 0.7, k: Int = 32, bands: Int = 16): DataFrame = {
-    val jac = udf((a: String, b: String) => graft.functions.TextOps.jaccard(a, b))
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .dropDuplicates("id")
     minhashLsh(df, textCol, idCol, k, bands)
       .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-      .withColumn("jaccard", jac(col("text_a"), col("text_b")))
+      .withColumn("jaccard", jaccard_sim(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         floor(col("jaccard") * 1e4).cast("long").as("jaccard_x1e4"))
