@@ -167,7 +167,7 @@ object Bench {
     * before EACH measured run, the measurement is cache-state noise, not
     * engine throughput. (A real cluster reads from distributed storage at
     * GB/s; the cached path is the comparable regime.) */
-  private def warmPageCache(path: String): Unit = {
+  private[graft] def warmPageCache(path: String): Unit = {
     if (!Files.exists(java.nio.file.Paths.get(path))) return
     val s = Files.walk(java.nio.file.Paths.get(path))
     try s.filter(p => p.toString.endsWith(".parquet")).forEach { p =>
@@ -315,7 +315,8 @@ object Bench {
 
     // PRIMARY N->4N evidence: 1 -> 4 cores (the machine's linear CPU
     // region; see the cpusN comment above for why 8->32 cannot show it).
-    val eff = (cap4N / capN) / (cpus4N.toDouble / cpusN)
+    val eff = if (!runSecondary) Double.NaN
+      else (cap4N / capN) / (cpus4N.toDouble / cpusN)
     val eff14 = (cap4 / cap1) / 4.0
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

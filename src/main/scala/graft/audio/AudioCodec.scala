@@ -449,6 +449,67 @@ object AudioCodec {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Gain applied in the decoded domain, re-encoded with the SAME codec:
+    * decode -> scale by `g` -> encode (floatToShort saturates, so gains
+    * driving samples past full scale hard-clip exactly like an analog
+    * chain into a fixed-point encoder). g = 0 produces digital silence;
+    * large g produces a clipped copy. Sample count is preserved. */
+  def gain(bytes: Array[Byte], codec: String, g: Double): Array[Byte] = {
+    val pcm = decode(bytes, codec)
+    var i = 0
+    while (i < pcm.length) { pcm(i) = (pcm(i) * g).toFloat; i += 1 }
+    encode(pcm, codec)
+  }
+
+  /** Silent-sample threshold in the 16-bit linear domain. A-law has no
+    * true zero (its zero code decodes to ±8), so "silent" must admit at
+    * least |s| <= 8; 16 adds margin for any companded near-zero code while
+    * staying ~3 orders of magnitude under the fixture's signal amplitude. */
+  final val SilenceLin = 16
+  /** Clipped-sample threshold: |s| >= 0.97 full scale. The companded
+    * codecs rail at 32124 (mu-law) / 32256 (A-law) ≈ 0.980-0.984 — above
+    * the threshold — while the synth fixture's in-range peak is <= 0.88,
+    * comfortably below it. */
+  final val ClipLin = (0.97 * 32768).toInt
+
+  /** Audio quality metrics in ONE fused pass over the encoded bytes (rms
+    * discipline: no intermediate float array). Returns
+    * [silence_ratio, clipping_ratio, peak, rms] with peak/rms normalized
+    * to [-1, 1] full scale. Empty input is fully silent by convention.
+    *
+    * The training-data filter this feeds: silence_ratio flags dead/blank
+    * clips, clipping_ratio flags distorted ones — the audio analog of the
+    * text quality ratios (t1/t4). */
+  def quality(bytes: Array[Byte], codec: String): Array[Double] = {
+    val n = sampleCount(bytes.length, codec)
+    if (n == 0) return Array(1.0, 0.0, 0.0, 0.0)
+    var silent = 0; var clipped = 0; var peak = 0; var sumSq = 0.0
+    @inline def acc(s: Int): Unit = {
+      val a = if (s < 0) -s else s
+      if (a <= SilenceLin) silent += 1
+      if (a >= ClipLin) clipped += 1
+      if (a > peak) peak = a
+      sumSq += s.toDouble * s.toDouble
+    }
+    codec match {
+      case Pcm16 =>
+        var i = 0
+        while (i < n) {
+          acc(((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toInt)
+          i += 1
+        }
+      case Ulaw =>
+        var i = 0
+        while (i < n) { acc(ulawToLinear(bytes(i)).toInt); i += 1 }
+      case Alaw =>
+        var i = 0
+        while (i < n) { acc(alawToLinear(bytes(i)).toInt); i += 1 }
+      case other => throw new IllegalArgumentException(s"unknown codec: $other")
+    }
+    Array(silent.toDouble / n, clipped.toDouble / n,
+      peak / 32768.0, math.sqrt(sumSq / n) / 32768.0)
+  }
+
   /** Signal-to-noise ratio in dB of `decoded` against reference `signal`. */
   def snrDb(signal: Array[Float], decoded: Array[Float]): Double = {
     require(signal.length == decoded.length,

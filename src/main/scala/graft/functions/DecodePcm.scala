@@ -206,6 +206,58 @@ case class PcmAlignedCorr(first: Expression, second: Expression,
     copy(f, s, t, q)
 }
 
+/** `pcm_gain(bytes, codec, gain) -> binary` — decode, scale, re-encode with
+  * the same codec (hard-clips at full scale; see AudioCodec.gain). Planting
+  * tool for quality-scoring ground truth: gain 0 = digital silence, large
+  * gain = a clipped copy. */
+case class PcmGain(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == org.apache.spark.sql.types.DoubleType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_gain expects (binary, string, double), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm_gain"
+  override def nullSafeEval(bytes: Any, codec: Any, g: Any): Any =
+    AudioCodec.gain(bytes.asInstanceOf[Array[Byte]],
+      codec.asInstanceOf[UTF8String].toString, g.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, g) =>
+      s"${ev.value} = graft.audio.AudioCodec.gain($b, $c.toString(), $g);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `pcm_quality(bytes, codec) -> array<double>` — fused single-pass quality
+  * metrics [silence_ratio, clipping_ratio, peak, rms] (see
+  * AudioCodec.quality): the audio analog of the text quality ratios,
+  * feeding silent/clipped-clip filters in a training-data pipeline. */
+case class PcmQuality(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_quality expects (binary, string), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "pcm_quality"
+  override def nullSafeEval(bytes: Any, codec: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      AudioCodec.quality(bytes.asInstanceOf[Array[Byte]],
+        codec.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.audio.AudioCodec.quality($b, $c.toString()));")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 object GraftFunctions {
   /** Expression -> Column bridge (Spark 4 classic API). */
   def toColumn(e: Expression): Column = Bridge.column(e)
@@ -234,6 +286,12 @@ object GraftFunctions {
                        bytesB: Column, codecB: Column): Column =
     toColumn(PcmAlignedCorr(toExpr(bytesA), toExpr(codecA),
       toExpr(bytesB), toExpr(codecB)))
+
+  def pcm_gain(bytes: Column, codec: Column, gain: Column): Column =
+    toColumn(PcmGain(toExpr(bytes), toExpr(codec), toExpr(gain)))
+
+  def pcm_quality(bytes: Column, codec: Column): Column =
+    toColumn(PcmQuality(toExpr(bytes), toExpr(codec)))
 
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def lang_id_ngram(text: Column): Column = toColumn(LangIdNgram(toExpr(text)))
@@ -269,6 +327,10 @@ object GraftFunctions {
       es => PcmTranscode(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_tone_pair",
       es => PcmTonePair(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_gain",
+      es => PcmGain(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_quality",
+      es => PcmQuality(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_aligned_corr",
       es => PcmAlignedCorr(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")

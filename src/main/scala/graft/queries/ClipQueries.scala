@@ -223,6 +223,33 @@ object ClipQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Audio QUALITY SCORING (the audio analog of the t1/t4 text quality
+    // ratios), oracled by planting: every 20th clip (residue 5) gains a
+    // SILENT copy (pcm_gain 0), every 20th (residue 15) a CLIPPED copy
+    // (pcm_gain 8 — hard-clips at full scale through the encoder). The
+    // engine must flag exactly the planted clips from the BYTES via
+    // pcm_quality's silence/clipping ratios; organic clips (synth peak
+    // <= 0.88, silence ratio ~1e-3) must never trip either threshold —
+    // equality with the id-arithmetic oracle = recall AND precision 1.0.
+    // One scan-stage pass per clip, no shuffle of audio bytes anywhere.
+    "c16_audio_quality" -> ((s, dir) => {
+      val clips = ClipGen.readClips(s, dir)
+        .select("clip_id", "bytes", "codec", "sr_hz")
+      def planted(residue: Int, g: Double, tag: String) = clips
+        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === residue)
+        .withColumn("bytes", pcm_gain(col("bytes"), col("codec"), lit(g)))
+        .withColumn("clip_id", concat(col("clip_id"), lit(tag)))
+      clips.unionByName(planted(5, 0.0, "-q0")).unionByName(planted(15, 8.0, "-q8"))
+        .select(col("clip_id"),
+          pcm_quality(col("bytes"), col("codec")).as("q"))
+        .select(col("clip_id"),
+          when(element_at(col("q"), 1) >= 0.99, lit("silent"))
+            .when(element_at(col("q"), 2) >= 0.3, lit("clipped"))
+            .as("verdict"))
+        .filter(col("verdict").isNotNull)
+        .orderBy("clip_id")
+    }),
+
     // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
     // country -> region, depth fixed at plan time; leaf level aggregates.
     "c9_multihop" -> ((s, dir) => {
@@ -259,6 +286,18 @@ object ClipQueries {
            |FROM $clips
            |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 10
            |ORDER BY 1, 2""".stripMargin,
+      // Quality-scoring ground truth is the planting rule: exactly the
+      // gain-0 copies are silent, exactly the gain-8 copies are clipped,
+      // and no organic clip trips either threshold.
+      "c16_audio_quality" ->
+        s"""SELECT clip_id || '-q0' AS clip_id, 'silent' AS verdict
+           |FROM $clips
+           |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 5
+           |UNION ALL
+           |SELECT clip_id || '-q8' AS clip_id, 'clipped' AS verdict
+           |FROM $clips
+           |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 15
+           |ORDER BY 1""".stripMargin,
       "c13_custom_sessions" ->
         s"""WITH ev AS (
            |  SELECT person_idx, epoch_ms(event_time) AS ms, dur_ms

@@ -128,4 +128,18 @@ class PlanQualitySpec extends AnyFunSuite {
     candidateJoinCarriesOnly("c15_audio_neardup_shift", "nb",
       Set("bytes", "bytes_a", "bytes_b", "pbytes"))
   }
+
+  test("c16: quality scoring never shuffles audio bytes") {
+    // pcm_quality reduces each clip in the scan stage; the only exchange
+    // in the plan may be the final oracle-ordering sort of (id, verdict)
+    val plan = SparkEntry.queries("c16_audio_quality")(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("bytes"), s"bytes reach a shuffle: $cols")
+    }
+  }
 }

@@ -40,6 +40,45 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioSynth.synth(7L, 8000, 1234).toSeq == sig.toSeq)
   }
 
+  test("quality metrics separate organic, silent, and clipped clips") {
+    for (codec <- AudioCodec.Codecs; seed <- 0L until 10L) {
+      val sig = AudioSynth.synth(AudioSynth.mix64(seed), 8000, 8000)
+      val organic = AudioCodec.encode(sig, codec)
+      val Array(sil, clip, peak, rms) = AudioCodec.quality(organic, codec)
+      // organic synth: peak <= 0.88, a tone mix is almost never at zero
+      // and never at the rails
+      assert(sil < 0.05, s"$codec seed=$seed organic silence=$sil")
+      assert(clip == 0.0, s"$codec seed=$seed organic clipping=$clip")
+      // synth peak <= 0.88 + companding quantization error
+      assert(peak > 0.2 && peak <= 0.91, s"$codec peak=$peak")
+      assert(rms > 0.05 && rms < peak, s"$codec rms=$rms peak=$peak")
+
+      val silent = AudioCodec.gain(organic, codec, 0.0)
+      val qs = AudioCodec.quality(silent, codec)
+      assert(qs(0) == 1.0, s"$codec silent ratio=${qs(0)}")
+      assert(qs(1) == 0.0 && qs(2) <= AudioCodec.SilenceLin / 32768.0)
+
+      val clipped = AudioCodec.gain(organic, codec, 8.0)
+      val qc = AudioCodec.quality(clipped, codec)
+      assert(qc(1) > 0.3, s"$codec clipped ratio=${qc(1)}")
+      assert(qc(0) < 0.05 && qc(2) > 0.97, s"$codec clipped peak=${qc(2)}")
+    }
+  }
+
+  test("gain preserves sample count and scales rms linearly in range") {
+    val sig = AudioSynth.synth(11L, 8000, 4000)
+    for (codec <- AudioCodec.Codecs) {
+      val bytes = AudioCodec.encode(sig, codec)
+      val half = AudioCodec.gain(bytes, codec, 0.5)
+      assert(AudioCodec.sampleCount(half.length, codec) ==
+        AudioCodec.sampleCount(bytes.length, codec))
+      val r0 = AudioCodec.quality(bytes, codec)(3)
+      val r1 = AudioCodec.quality(half, codec)(3)
+      // in-range gain (no clipping) halves the rms, up to companding error
+      assert(math.abs(r1 / r0 - 0.5) < 0.02, s"$codec rms ratio=${r1 / r0}")
+    }
+  }
+
   test("band energies: a pure sine lands in its Goertzel band") {
     val sr = 8000
     val n = 8000
