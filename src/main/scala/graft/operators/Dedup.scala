@@ -171,15 +171,25 @@ object Dedup {
     *     appear at 10^12 rows; each costs one bounded verify, not a wrong
     *     answer).
     *
-    * Skew note: group sizes are bounded by the (sr, f1, bucket) key
+    * Skew note: group sizes are bounded by the (sr, f1, nb, f2b) key
     * cardinality; a corpus of near-identical tones would hot-spot one key
-    * and should pre-salt the join (Salting.saltedAgg discipline). */
+    * and should pre-salt the join (Salting.saltedAgg discipline).
+    *
+    * The SECOND tone also rides the candidate key as a bucket (width
+    * tolHz, adjacent-bucket emission like nb — any |Δf2| <= tolHz pair
+    * shares one): measured at sf1, (sr, f1, nb) alone let organic
+    * collisions grow ~quadratically with corpus density (c15 scaled 14.7x
+    * at 10x rows); the f2 bucket divides candidate groups by the second
+    * tone's ~137-bucket cardinality while recall stays exact — the
+    * in-group filters and the aligned-corr verify are unchanged, so the
+    * OUTPUT is identical, only the pruned candidate volume differs. */
   def audioNearDupShift(clips: DataFrame, maxTrim: Int = 160, tolHz: Int = 16,
                         minCorr: Double = 0.8,
                         idCol: String = "clip_id", bytesCol: String = "bytes",
                         codecCol: String = "codec", srCol: String = "sr_hz"): DataFrame = {
     require(maxTrim >= 0, s"maxTrim must be >= 0, got $maxTrim")
     val bucketW = math.max(256, maxTrim + 1)
+    val f2W = math.max(tolHz, 1)
     val fp = clips.select(col(idCol).as("id"), col(srCol).as("sr"),
       pcm_sample_count(col(bytesCol), col(codecCol)).as("n"),
       pcm_tone_pair(col(bytesCol), col(codecCol), col(srCol)).as("tones"))
@@ -188,11 +198,14 @@ object Dedup {
       .select(col("id"), col("sr"), col("n"), col("f1"), col("f2"),
         explode(array((col("n") / bucketW).cast("int"),
           (col("n") / bucketW).cast("int") + 1)).as("nb"))
-    val a = fp.select(col("sr"), col("f1"), col("nb"), col("id").as("id_a"),
-      col("n").as("n_a"), col("f2").as("f2_a"))
-    val b = fp.select(col("sr"), col("f1"), col("nb"), col("id").as("id_b"),
-      col("n").as("n_b"), col("f2").as("f2_b"))
-    val cands = a.join(b, Seq("sr", "f1", "nb"))
+      .select(col("id"), col("sr"), col("n"), col("f1"), col("f2"), col("nb"),
+        explode(array((col("f2") / f2W).cast("int"),
+          (col("f2") / f2W).cast("int") + 1)).as("f2b"))
+    val a = fp.select(col("sr"), col("f1"), col("nb"), col("f2b"),
+      col("id").as("id_a"), col("n").as("n_a"), col("f2").as("f2_a"))
+    val b = fp.select(col("sr"), col("f1"), col("nb"), col("f2b"),
+      col("id").as("id_b"), col("n").as("n_b"), col("f2").as("f2_b"))
+    val cands = a.join(b, Seq("sr", "f1", "nb", "f2b"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("n_a") - col("n_b")) <= maxTrim)
       .filter(abs(col("f2_a") - col("f2_b")) <= tolHz)

@@ -61,6 +61,26 @@ object ClipStreamJob {
   def sessionCounts(clips: DataFrame, watermark: String = "30 seconds"): DataFrame =
     Windows.sessionCounts(clips.withWatermark("event_time", watermark))
 
+  /** CONTENT-keyed streaming dedup: the same audio arriving again under a
+    * different clip_id and/or codec (a transcoded re-upload) is dropped on
+    * ingest by its acoustic fingerprint — `Dedup.audioNearDup`'s exact key
+    * (sr, n_samples, f1), which a G.711 transcode preserves exactly, as
+    * the `dropDuplicatesWithinWatermark` key. The fingerprint reduction
+    * runs in the scan stage, so dedup STATE holds only the tiny key tuple
+    * (never bytes) and is evicted by the watermark — bounded state at any
+    * stream length. First arrival wins (id-level replay dedup is the
+    * sink's job; this is the content level above it). */
+  def audioDedupStream(clips: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    clips
+      .withColumn("n_samples",
+        graft.functions.GraftFunctions.pcm_sample_count(col("bytes"), col("codec")))
+      .withColumn("f1", element_at(
+        graft.functions.GraftFunctions.pcm_tone_pair(
+          col("bytes"), col("codec"), col("sr_hz")), 1))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("sr_hz", "n_samples", "f1")
+      .drop("n_samples", "f1")
+
   /** Stateful stream-stream LEFT OUTER join of the clip stream with the
     * late transcript-update stream (J1 re-expression): equi-join on
     * clip_id, time-bounded so state can be evicted by the watermark.

@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.audio.{AudioCodec, AudioSynth}
+
+case class AudioEvt(clip_id: String, bytes: Array[Byte], codec: String,
+                    sr_hz: Int, event_time: Timestamp)
 
 /** Streaming dedup with bounded state: dropDuplicatesWithinWatermark keeps
   * the dedup key set only as long as the watermark requires (SURVEY §2.11
@@ -42,6 +46,34 @@ class StreamingDedupSpec extends AnyFunSuite {
       val got = spark.table("dedup_stream")
         .filter(col("w") === 1704067200000L).select("n").as[Long].collect()
       assert(got.toSeq == Seq(2L)) // c1 once + c2 once
+    } finally q.stop()
+  }
+
+  test("CONTENT dedup: transcoded re-uploads dropped by acoustic fingerprint") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[AudioEvt]
+    val q = ClipStreamJob.audioDedupStream(in.toDF())
+      .writeStream.format("memory").queryName("audio_dedup")
+      .outputMode("append").start()
+    try {
+      val a16 = AudioCodec.encode(AudioSynth.synth(AudioSynth.mix64(1L), 8000, 8000), "pcm16")
+      val b16 = AudioCodec.encode(AudioSynth.synth(AudioSynth.mix64(2L), 8000, 8000), "pcm16")
+      // batch 1: two distinct clips pass
+      in.addData(AudioEvt("a", a16, "pcm16", 8000, ts(1)),
+        AudioEvt("b", b16, "pcm16", 8000, ts(2)))
+      q.processAllAvailable()
+      // batch 2: the SAME audio as `a`, re-uploaded under a new id and a
+      // different codec — the G.711 transcode preserves (sr, n, f1), so
+      // the fingerprint key is already in dedup state -> dropped
+      val aUlaw = AudioCodec.transcode(a16, "pcm16", "ulaw")
+      in.addData(AudioEvt("a-reupload", aUlaw, "ulaw", 8000, ts(3)))
+      q.processAllAvailable()
+      // batch 3: a genuinely new clip still passes
+      val c16 = AudioCodec.encode(AudioSynth.synth(AudioSynth.mix64(3L), 8000, 8000), "pcm16")
+      in.addData(AudioEvt("c", c16, "pcm16", 8000, ts(4)))
+      q.processAllAvailable()
+      val got = spark.table("audio_dedup").select("clip_id").as[String].collect().toSet
+      assert(got == Set("a", "b", "c"), s"got $got")
     } finally q.stop()
   }
 }
