@@ -58,6 +58,37 @@ object Extraction {
 
   private def quote(s: String) = java.util.regex.Pattern.quote(s)
 
+  /** Parse a compact SQL-facing spec string into an [[ExtractionSpec]] —
+    * the payload the reference takes as JSON, expressible inside a SQL
+    * literal for the `clip_extract` table function:
+    *
+    *   "Name:name:text+href; Phones:phone:text:trim+lowercase"
+    *
+    * `;` separates fields; each field is `name:selector:attr[+attr...]`
+    * with an optional 4th `filter[=arg][+filter...]` segment (filter names
+    * are the reference's — trim/lowercase/uppercase/capitalize/regex;
+    * `regex=...` takes the pattern as its arg). Validation is the same fail-fast
+    * `checkPayload` path as the programmatic API. */
+  def parseSpec(s: String): ExtractionSpec = {
+    val fields = s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { f =>
+      val parts = f.split(":", -1)
+      require(parts.length == 3 || parts.length == 4,
+        s"field spec '$f' must be name:selector:attr[+attr...][:filter[=arg][+...]]")
+      val filters =
+        if (parts.length == 4)
+          parts(3).split("\\+").toSeq.map(_.trim).filter(_.nonEmpty).map { fl =>
+            fl.split("=", 2) match {
+              case Array(n) => (n, "")
+              case Array(n, a) => (n, a)
+            }
+          }
+        else Nil
+      FieldSpec(parts(0).trim, parts(1).trim,
+        parts(2).split("\\+").toSeq.map(_.trim).filter(_.nonEmpty), filters)
+    }
+    ExtractionSpec("sql", fields).validate()
+  }
+
   /** All outer elements for `tag` inside a block, as array<string>. */
   def elements(block: Column, tag: String): Column =
     regexp_extract_all(block,

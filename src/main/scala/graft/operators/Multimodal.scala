@@ -8,13 +8,16 @@ import graft.audio.AudioSynth.mix64
 /** Multimodal asset plumbing: opaque `binary` payloads + typed metadata,
   * processed in partition-batches.
   *
-  * Audio is this engine's REAL modality (native decode/filterbank
-  * expressions in graft.functions). Image and video transforms follow the
-  * same shape but their actual codecs are STUBBED behind deterministic
-  * fakes (no image/video libraries exist in this environment) — the Spark
-  * plumbing (schema, batching, partition-parallel transform, metadata
-  * handling) is real and tested, and a real decoder drops into
-  * [[MediaKernels]] without touching the plan.
+  * Audio is this engine's fully-REAL modality (native decode/filterbank
+  * expressions in graft.functions). Images are REAL for uncompressed
+  * netpbm payloads (P5/P6 — graft.image.ImageCodec: header parse, raster
+  * decode, luma, bilinear resize, histogram; no library needed); only
+  * COMPRESSED image codecs (JPEG/PNG) and video remain STUBBED behind
+  * deterministic fakes, because their decoders need libraries this
+  * environment does not have — the Spark plumbing (schema, batching,
+  * partition-parallel transform, metadata handling) is identical either
+  * way, and a real JPEG/H.264 decoder drops into [[MediaKernels]] without
+  * touching the plan.
   *
   * The transform runs via `mapPartitions` on a typed Dataset — the Scala
   * analog of `mapInPandas`: one JVM-side batch per partition, no per-row
@@ -79,9 +82,17 @@ object Multimodal {
             val bands = graft.audio.AudioCodec.bandEnergies(a.bytes, a.codec, 8000, 8)
             MediaFeature(a.asset_id, a.kind, bands.map(_.toFloat), 0, 0, 0)
           case "image" =>
-            val px = MediaKernels.decodeImageStub(a.bytes, a.width, a.height)
-            MediaFeature(a.asset_id, a.kind,
-              MediaKernels.resizeStub(px, outW, outH), outW, outH, 1)
+            graft.image.ImageCodec.magicOf(a.bytes) match {
+              case Some(_) => // REAL path: uncompressed netpbm payload
+                val img = graft.image.ImageCodec.decode(a.bytes)
+                val thumb = graft.image.ImageCodec.resizeBilinear(
+                  graft.image.ImageCodec.toLuma(img), outW, outH)
+                MediaFeature(a.asset_id, a.kind, thumb.pixels, outW, outH, 1)
+              case None => // compressed codec: stub (no image libs here)
+                val px = MediaKernels.decodeImageStub(a.bytes, a.width, a.height)
+                MediaFeature(a.asset_id, a.kind,
+                  MediaKernels.resizeStub(px, outW, outH), outW, outH, 1)
+            }
           case "video" =>
             val frames = MediaKernels.sampleFramesStub(a.bytes, a.n_frames, frameStride)
             MediaFeature(a.asset_id, a.kind,
@@ -100,15 +111,33 @@ object Multimodal {
       val h = mix64(0xA55E7L + i)
       val kind = Seq("image", "video", "audio")(
         java.lang.Long.remainderUnsigned(h, 3L).toInt)
-      val bytes =
-        if (kind == "audio")
+      val bytes = kind match {
+        case "audio" =>
           graft.audio.AudioCodec.encode(
             graft.audio.AudioSynth.synth(h, 8000, 800), "ulaw")
-        else Array.tabulate(256)(j => mix64(h + j).toByte)
+        case "image" => // REAL uncompressed PPM: seeded gradient + pattern
+          val w = 64; val ht = 48
+          val px = new Array[Float](w * ht * 3)
+          var p = 0
+          while (p < w * ht) {
+            val x = p % w; val y = p / w
+            px(3 * p) = x.toFloat / (w - 1)
+            px(3 * p + 1) = y.toFloat / (ht - 1)
+            px(3 * p + 2) =
+              java.lang.Long.remainderUnsigned(mix64(h + p), 256L) / 255f
+            p += 1
+          }
+          graft.image.ImageCodec.encode(graft.image.ImageCodec.Image(w, ht, 3, px))
+        case _ => Array.tabulate(256)(j => mix64(h + j).toByte)
+      }
       MediaAsset(f"asset-$i%05d", kind, bytes,
         width = 64, height = 48,
         n_frames = if (kind == "video") 32 else 1,
-        codec = if (kind == "audio") "ulaw" else "stub")
+        codec = kind match {
+          case "audio" => "ulaw"
+          case "image" => "ppm"
+          case _ => "stub"
+        })
     }
   }
 }

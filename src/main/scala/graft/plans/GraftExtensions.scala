@@ -53,5 +53,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Extraction(graft.queries.ClipQueries.cardsSpec)(
           spark.read.parquet(path)).queryExecution.analyzed
       }))
+    // Parameterized variant: the payload spec itself rides a SQL literal —
+    // SELECT * FROM clip_extract('<dir>', 'Name:name:text+href;...').
+    // The reference takes this payload as POSTed JSON
+    // (/root/reference/scrape/scrape.go:157-172); here it is a compact
+    // string parsed by Extraction.parseSpec with the same checkPayload
+    // validation.
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("clip_extract"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.operators.Extraction", "clip_extract"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(es.length == 2 && es.forall(_.foldable),
+          "clip_extract(path, spec) expects two string literals")
+        val path = es(0).eval().toString
+        val spec = graft.operators.Extraction.parseSpec(es(1).eval().toString)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Extraction(spec)(
+          spark.read.parquet(path)).queryExecution.analyzed
+      }))
   }
 }

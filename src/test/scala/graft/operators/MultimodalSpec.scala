@@ -27,4 +27,27 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(assets.repartition(7)).collect().sortBy(_.asset_id)
     assert(again.map(_.feature.toSeq).toSeq == feats.map(_.feature.toSeq).toSeq)
   }
+
+  test("image features use the REAL netpbm path, not the stub") {
+    import graft.image.ImageCodec
+    // a constant mid-gray PPM must produce a constant mid-gray thumbnail —
+    // the stub (content-hash pseudo-pixels) cannot produce this
+    val gray = ImageCodec.encode(ImageCodec.Image(64, 48, 3,
+      Array.fill(64 * 48 * 3)(128f / 255f)))
+    val asset = Multimodal.MediaAsset("img-const", "image", gray, 64, 48, 1, "ppm")
+    val Array(f) = Multimodal.extractFeatures(
+      spark.createDataset(Seq(asset))).collect()
+    assert(f.out_width == 8 && f.out_height == 8 && f.feature.length == 64)
+    assert(f.feature.forall(p => math.abs(p - 128f / 255f) < 1e-6))
+    // and the thumbnail equals ImageCodec applied directly (end-to-end parity)
+    val direct = ImageCodec.resizeBilinear(
+      ImageCodec.toLuma(ImageCodec.decode(gray)), 8, 8).pixels
+    assert(f.feature.toSeq == direct.toSeq)
+    // non-netpbm bytes (e.g. a JPEG payload) still flow through the stub
+    val jpegish = Multimodal.MediaAsset("img-jpg", "image",
+      Array[Byte](-1, -40, -1, -32, 1, 2, 3), 64, 48, 1, "jpeg")
+    val Array(s) = Multimodal.extractFeatures(
+      spark.createDataset(Seq(jpegish))).collect()
+    assert(s.feature.length == 64)
+  }
 }

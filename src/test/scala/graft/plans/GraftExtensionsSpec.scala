@@ -37,6 +37,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.head.getSeq[String](1).head == graft.fixtures.Persons.all(0).name)
   }
 
+  test("clip_extract TVF: parameterized payload spec in SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("tvf-extract").toString
+    ClipGen.clipsDf(spark, 6).write.mode("overwrite").parquet(dir)
+    val rows = spark.sql(
+      s"""SELECT clip_id, Who_text, Who_href, Mail_text
+         |FROM clip_extract('$dir', 'Who:name:text+href; Mail:email:text:uppercase')
+         |ORDER BY clip_id""".stripMargin).collect()
+    assert(rows.length == 6)
+    assert(rows.head.getSeq[String](1).head == graft.fixtures.Persons.all(0).name)
+    assert(rows.head.getSeq[String](3).head ==
+      graft.fixtures.Persons.all(0).email.toUpperCase)
+    // unknown filters fail the same checkPayload path as the programmatic API
+    val err = intercept[Exception](spark.sql(
+      s"SELECT * FROM clip_extract('$dir', 'A:name:text:nosuchfilter')").collect())
+    assert(err.getMessage.contains("unknown filter"))
+  }
+
   test("session with GraftExtensions applies the rule and injects SQL functions") {
     // force a FRESH session (getOrCreate would return the shared one and
     // ignore withExtensions) — restore the shared default afterwards
