@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{ClipQueries, DocQueries, RelationalQueries}
+import graft.queries.{ClipQueries, DocQueries, ImageQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,10 +25,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (plus the
     * training-data pipeline operators: dedup/similarity/text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ClipQueries.queries ++ DocQueries.queries
+    RelationalQueries.queries ++ ClipQueries.queries ++ DocQueries.queries ++
+      ImageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ ClipQueries.oracleSql ++ DocQueries.oracleSql
+    RelationalQueries.oracleSql ++ ClipQueries.oracleSql ++ DocQueries.oracleSql ++
+      ImageQueries.oracleSql
 }

@@ -293,6 +293,8 @@ object GraftFunctions {
   def pcm_quality(bytes: Column, codec: Column): Column =
     toColumn(PcmQuality(toExpr(bytes), toExpr(codec)))
 
+  def ppm_luma_mean(bytes: Column): Column = toColumn(PpmLumaMean(toExpr(bytes)))
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def lang_id_ngram(text: Column): Column = toColumn(LangIdNgram(toExpr(text)))
   def rel_url(base: Column, rel: Column): Column =
@@ -331,6 +333,8 @@ object GraftFunctions {
       es => PcmGain(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_quality",
       es => PcmQuality(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("ppm_luma_mean",
+      es => PpmLumaMean(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_aligned_corr",
       es => PcmAlignedCorr(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")

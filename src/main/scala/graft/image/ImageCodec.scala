@@ -149,6 +149,59 @@ object ImageCodec {
     Image(outW, outH, ch, out)
   }
 
+  /** Mean BT.601 luma of a netpbm payload in ONE fused pass over the
+    * raster bytes — no pixel array materialized (the rms discipline from
+    * the audio side; this is the scan-stage reduction behind the oracled
+    * image-quality query). */
+  def lumaMean(bytes: Array[Byte]): Double = {
+    // reuse the header parser via a bounded decode? No — stream the raster.
+    require(bytes.length >= 2 && bytes(0) == 'P', "not a netpbm image")
+    val ch = bytes(1) match {
+      case '5' => 1
+      case '6' => 3
+      case m => throw new IllegalArgumentException(
+        s"unsupported netpbm type P${m.toChar} (only binary P5/P6)")
+    }
+    var pos = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      require(pos < bytes.length && bytes(pos).toChar.isDigit,
+        s"bad netpbm header near byte $pos")
+      var v = 0
+      while (pos < bytes.length && bytes(pos).toChar.isDigit) {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    require(w > 0 && h > 0 && maxv > 0 && maxv < 65536,
+      s"bad netpbm dims ${w}x$h maxval $maxv")
+    pos += 1
+    val nPix = w * h
+    val bpc = if (maxv < 256) 1 else 2
+    require(bytes.length - pos >= nPix * ch * bpc, "truncated raster")
+    @inline def sample(i: Int): Double =
+      if (bpc == 1) (bytes(pos + i) & 0xFF).toDouble / maxv
+      else (((bytes(pos + 2 * i) & 0xFF) << 8) | (bytes(pos + 2 * i + 1) & 0xFF)).toDouble / maxv
+    var acc = 0.0
+    var p = 0
+    if (ch == 1) while (p < nPix) { acc += sample(p); p += 1 }
+    else while (p < nPix) {
+      acc += 0.299 * sample(3 * p) + 0.587 * sample(3 * p + 1) + 0.114 * sample(3 * p + 2)
+      p += 1
+    }
+    acc / nPix
+  }
+
   /** Normalized `bins`-bucket histogram of a single-channel image —
     * the classic cheap content descriptor beside the thumbnail. */
   def histogram(gray: Image, bins: Int): Array[Float] = {

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.ImageGen
+import graft.functions.GraftFunctions._
+
+/** Image-modality query surface: REAL uncompressed netpbm payloads
+  * (graft.image.ImageCodec), generated deterministically per scale factor
+  * with id-arithmetic planted ground truth — the DuckDB oracle reads the
+  * SAME parquet and states the planting rule, so recall AND precision of
+  * the byte-derived answer are both exact-checked (the c16 discipline on
+  * the image column). */
+object ImageQueries {
+
+  /** Driver verifies at sf0.01 — oracle paths are pinned to that scale. */
+  def imagesGlob(sf: String = "sf0.01"): String =
+    s"/root/repo/data/images/$sf/images/*.parquet"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Image QUALITY flagging from bytes alone: netpbm decode + fused luma
+    // reduction in the scan stage (ppm_luma_mean — bytes never reach a
+    // shuffle), then threshold into dark/bright verdicts. The fixture
+    // plants dark images (every sample <= ~0.07) at idx%20==7 and bright
+    // (>= ~0.93) at idx%20==17; organic mid-range images (luma in
+    // [0.25, 0.75]) can trip neither threshold — equality with the
+    // id-arithmetic oracle = recall AND precision 1.0.
+    "i1_image_quality" -> ((s, dir) => {
+      ImageGen.readImages(s, dir)
+        .select(col("image_id"), ppm_luma_mean(col("bytes")).as("mean_luma"))
+        .select(col("image_id"),
+          when(col("mean_luma") <= 0.1, lit("dark"))
+            .when(col("mean_luma") >= 0.9, lit("bright"))
+            .as("verdict"))
+        .filter(col("verdict").isNotNull)
+        .orderBy("image_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "i1_image_quality" ->
+      s"""SELECT image_id,
+         |  CASE WHEN CAST(substr(image_id, 5, 8) AS INTEGER) % 20 = 7
+         |    THEN 'dark' ELSE 'bright' END AS verdict
+         |FROM read_parquet('${imagesGlob()}')
+         |WHERE CAST(substr(image_id, 5, 8) AS INTEGER) % 20 IN (7, 17)
+         |ORDER BY 1""".stripMargin)
+}

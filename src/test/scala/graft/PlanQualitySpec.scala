@@ -129,6 +129,18 @@ class PlanQualitySpec extends AnyFunSuite {
       Set("bytes", "bytes_a", "bytes_b", "pbytes"))
   }
 
+  test("i1: image quality scoring never shuffles image bytes") {
+    val plan = SparkEntry.queries("i1_image_quality")(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("bytes"), s"image bytes reach a shuffle: $cols")
+    }
+  }
+
   test("c16: quality scoring never shuffles audio bytes") {
     // pcm_quality reduces each clip in the scan stage; the only exchange
     // in the plan may be the final oracle-ordering sort of (id, verdict)

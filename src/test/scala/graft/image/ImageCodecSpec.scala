@@ -58,6 +58,22 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(up.pixels(0) == 0f && up.pixels(3) == 1f) // corner samples clamp to source corners
   }
 
+  test("fused lumaMean equals the decode->luma->mean path exactly") {
+    for (seed <- 1 to 5) {
+      val px = Array.tabulate(16 * 9 * 3)(i => quantize(((i * seed) % 101) / 100f))
+      val bytes = encode(Image(16, 9, 3, px))
+      // fused accumulates in double, the decode path in float luma
+      // weights — agree to float precision
+      val viaDecode = toLuma(decode(bytes)).pixels.map(_.toDouble).sum / (16 * 9)
+      assert(math.abs(lumaMean(bytes) - viaDecode) < 1e-6,
+        s"seed=$seed fused=${lumaMean(bytes)} ref=$viaDecode")
+    }
+    // grayscale P5 path too
+    val g = encode(Image(4, 4, 1, Array.tabulate(16)(i => quantize(i / 15f))))
+    val ref = decode(g).pixels.map(_.toDouble).sum / 16
+    assert(math.abs(lumaMean(g) - ref) < 1e-6)
+  }
+
   test("histogram is normalized and places mass in the right buckets") {
     val g = Image(4, 1, 1, Array(0.05f, 0.05f, 0.55f, 0.95f))
     val hist = histogram(g, 10)
