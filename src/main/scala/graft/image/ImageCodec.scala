@@ -27,10 +27,21 @@ object ImageCodec {
       Some(s"P${bytes(1) - '0'}")
     else None
 
-  /** Decode a binary PGM (P5) or PPM (P6): header (`#` comments allowed),
-    * then the raster — 1 byte/sample for maxval < 256, 2 big-endian
-    * bytes otherwise, normalized to [0, 1]. */
-  def decode(bytes: Array[Byte]): Image = {
+  /** Parsed netpbm header: channel count, dims, maxval, raster offset. */
+  private final case class Header(channels: Int, width: Int, height: Int,
+                                  maxval: Int, rasterPos: Int) {
+    def bytesPerChannel: Int = if (maxval < 256) 1 else 2
+    def nSamples: Int = width * height * channels
+  }
+
+  /** Bound on each dimension: keeps w*h*ch*bpc far inside Int range (a
+    * hostile header like "P6 65536 65536 255" would otherwise overflow
+    * the sample count to 0, defeating the truncated-raster guard). */
+  private val MaxDim = 1 << 14 // 16384 per side, <= 1.6 GB raster worst case
+
+  /** The ONE netpbm header parser — decode and the fused lumaMean both go
+    * through it, so header fixes can never diverge the two paths. */
+  private def parseHeader(bytes: Array[Byte]): Header = {
     require(bytes.length >= 2 && bytes(0) == 'P', "not a netpbm image")
     val ch = bytes(1) match {
       case '5' => 1
@@ -52,23 +63,37 @@ object ImageCodec {
       skipWs()
       require(pos < bytes.length && bytes(pos).toChar.isDigit,
         s"bad netpbm header near byte $pos")
-      var v = 0
+      var v = 0L
       while (pos < bytes.length && bytes(pos).toChar.isDigit) {
         v = v * 10 + (bytes(pos) - '0'); pos += 1
+        require(v <= Int.MaxValue, "netpbm header number overflows")
       }
-      v
+      v.toInt
     }
     val w = int(); val h = int(); val maxv = int()
     require(w > 0 && h > 0 && maxv > 0 && maxv < 65536,
       s"bad netpbm dims ${w}x$h maxval $maxv")
+    require(w <= MaxDim && h <= MaxDim,
+      s"netpbm dims ${w}x$h exceed the $MaxDim-per-side bound")
     pos += 1 // exactly one whitespace byte separates maxval from the raster
-    val n = w * h * ch
     val bpc = if (maxv < 256) 1 else 2
-    require(bytes.length - pos >= n * bpc,
-      s"truncated raster: need ${n * bpc} bytes, have ${bytes.length - pos}")
+    require(bytes.length.toLong - pos >= w.toLong * h * ch * bpc,
+      s"truncated raster: need ${w.toLong * h * ch * bpc} bytes, " +
+        s"have ${bytes.length - pos}")
+    Header(ch, w, h, maxv, pos)
+  }
+
+  /** Decode a binary PGM (P5) or PPM (P6): header (`#` comments allowed),
+    * then the raster — 1 byte/sample for maxval < 256, 2 big-endian
+    * bytes otherwise, normalized to [0, 1]. */
+  def decode(bytes: Array[Byte]): Image = {
+    val hd = parseHeader(bytes)
+    val n = hd.nSamples
+    val pos = hd.rasterPos
+    val maxv = hd.maxval
     val out = new Array[Float](n)
     var i = 0
-    if (bpc == 1)
+    if (hd.bytesPerChannel == 1)
       while (i < n) { out(i) = (bytes(pos + i) & 0xFF) / maxv.toFloat; i += 1 }
     else
       while (i < n) {
@@ -76,7 +101,7 @@ object ImageCodec {
           (bytes(pos + 2 * i + 1) & 0xFF)) / maxv.toFloat
         i += 1
       }
-    Image(w, h, ch, out)
+    Image(hd.width, hd.height, hd.channels, out)
   }
 
   /** Encode to binary netpbm at maxval 255 (P5 for 1 channel, P6 for 3). */
@@ -154,47 +179,17 @@ object ImageCodec {
     * the audio side; this is the scan-stage reduction behind the oracled
     * image-quality query). */
   def lumaMean(bytes: Array[Byte]): Double = {
-    // reuse the header parser via a bounded decode? No — stream the raster.
-    require(bytes.length >= 2 && bytes(0) == 'P', "not a netpbm image")
-    val ch = bytes(1) match {
-      case '5' => 1
-      case '6' => 3
-      case m => throw new IllegalArgumentException(
-        s"unsupported netpbm type P${m.toChar} (only binary P5/P6)")
-    }
-    var pos = 2
-    def skipWs(): Unit = {
-      var go = true
-      while (go && pos < bytes.length) {
-        val c = bytes(pos).toChar
-        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
-        else if (c.isWhitespace) pos += 1
-        else go = false
-      }
-    }
-    def int(): Int = {
-      skipWs()
-      require(pos < bytes.length && bytes(pos).toChar.isDigit,
-        s"bad netpbm header near byte $pos")
-      var v = 0
-      while (pos < bytes.length && bytes(pos).toChar.isDigit) {
-        v = v * 10 + (bytes(pos) - '0'); pos += 1
-      }
-      v
-    }
-    val w = int(); val h = int(); val maxv = int()
-    require(w > 0 && h > 0 && maxv > 0 && maxv < 65536,
-      s"bad netpbm dims ${w}x$h maxval $maxv")
-    pos += 1
-    val nPix = w * h
-    val bpc = if (maxv < 256) 1 else 2
-    require(bytes.length - pos >= nPix * ch * bpc, "truncated raster")
+    val hd = parseHeader(bytes)
+    val pos = hd.rasterPos
+    val maxv = hd.maxval
+    val bpc = hd.bytesPerChannel
+    val nPix = hd.width * hd.height
     @inline def sample(i: Int): Double =
       if (bpc == 1) (bytes(pos + i) & 0xFF).toDouble / maxv
       else (((bytes(pos + 2 * i) & 0xFF) << 8) | (bytes(pos + 2 * i + 1) & 0xFF)).toDouble / maxv
     var acc = 0.0
     var p = 0
-    if (ch == 1) while (p < nPix) { acc += sample(p); p += 1 }
+    if (hd.channels == 1) while (p < nPix) { acc += sample(p); p += 1 }
     else while (p < nPix) {
       acc += 0.299 * sample(3 * p) + 0.587 * sample(3 * p + 1) + 0.114 * sample(3 * p + 2)
       p += 1

@@ -67,22 +67,41 @@ object Extraction {
     * `;` separates fields; each field is `name:selector:attr[+attr...]`
     * with an optional 4th `filter[=arg][+filter...]` segment (filter names
     * are the reference's — trim/lowercase/uppercase/capitalize/regex;
-    * `regex=...` takes the pattern as its arg). Validation is the same fail-fast
-    * `checkPayload` path as the programmatic API. */
+    * `regex=...` takes the pattern as its arg). Because regex patterns
+    * freely contain `+`, `:` and `=`, a `regex=` filter consumes the REST
+    * of its segment verbatim (so it must be the last filter of a field),
+    * and the field split keeps everything after the third `:` intact.
+    * Validation is the same fail-fast `checkPayload` path as the
+    * programmatic API. */
   def parseSpec(s: String): ExtractionSpec = {
+    def parseFilters(seg: String): Seq[(String, String)] = {
+      // -1 limit: a trailing '+' (e.g. the quantifier in "regex=[0-9]+")
+      // must survive as an empty trailing part, not be silently dropped
+      val parts = seg.split("\\+", -1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var i = 0
+      while (i < parts.length) {
+        val p = parts(i).trim
+        if (p.startsWith("regex=")) {
+          out += (("regex",
+            (p.stripPrefix("regex=") +: parts.drop(i + 1)).mkString("+")))
+          i = parts.length
+        } else {
+          if (p.nonEmpty) out += (p.split("=", 2) match {
+            case Array(n) => (n, "")
+            case Array(n, a) => (n, a)
+          })
+          i += 1
+        }
+      }
+      out.toSeq
+    }
     val fields = s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { f =>
-      val parts = f.split(":", -1)
+      // limit 4: colons INSIDE a regex pattern stay in the filter segment
+      val parts = f.split(":", 4)
       require(parts.length == 3 || parts.length == 4,
         s"field spec '$f' must be name:selector:attr[+attr...][:filter[=arg][+...]]")
-      val filters =
-        if (parts.length == 4)
-          parts(3).split("\\+").toSeq.map(_.trim).filter(_.nonEmpty).map { fl =>
-            fl.split("=", 2) match {
-              case Array(n) => (n, "")
-              case Array(n, a) => (n, a)
-            }
-          }
-        else Nil
+      val filters = if (parts.length == 4) parseFilters(parts(3)) else Nil
       FieldSpec(parts(0).trim, parts(1).trim,
         parts(2).split("\\+").toSeq.map(_.trim).filter(_.nonEmpty), filters)
     }

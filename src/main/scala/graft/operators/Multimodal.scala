@@ -82,16 +82,23 @@ object Multimodal {
             val bands = graft.audio.AudioCodec.bandEnergies(a.bytes, a.codec, 8000, 8)
             MediaFeature(a.asset_id, a.kind, bands.map(_.toFloat), 0, 0, 0)
           case "image" =>
-            graft.image.ImageCodec.magicOf(a.bytes) match {
-              case Some(_) => // REAL path: uncompressed netpbm payload
+            // REAL path for netpbm payloads; anything else — including a
+            // corrupt/compressed payload that merely STARTS with 'P5'/'P6'
+            // (near-certain somewhere in a 100 TB corpus) — falls back to
+            // the stub instead of throwing a whole-job-killing exception
+            // out of mapPartitions.
+            val real: Option[MediaFeature] =
+              if (graft.image.ImageCodec.magicOf(a.bytes).isEmpty) None
+              else scala.util.Try {
                 val img = graft.image.ImageCodec.decode(a.bytes)
                 val thumb = graft.image.ImageCodec.resizeBilinear(
                   graft.image.ImageCodec.toLuma(img), outW, outH)
                 MediaFeature(a.asset_id, a.kind, thumb.pixels, outW, outH, 1)
-              case None => // compressed codec: stub (no image libs here)
-                val px = MediaKernels.decodeImageStub(a.bytes, a.width, a.height)
-                MediaFeature(a.asset_id, a.kind,
-                  MediaKernels.resizeStub(px, outW, outH), outW, outH, 1)
+              }.toOption
+            real.getOrElse {
+              val px = MediaKernels.decodeImageStub(a.bytes, a.width, a.height)
+              MediaFeature(a.asset_id, a.kind,
+                MediaKernels.resizeStub(px, outW, outH), outW, outH, 1)
             }
           case "video" =>
             val frames = MediaKernels.sampleFramesStub(a.bytes, a.n_frames, frameStride)

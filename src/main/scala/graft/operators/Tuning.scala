@@ -90,6 +90,10 @@ object Tuning {
         }
         i += 1
       }
+      require(best != null,
+        "ivfProbesFor: sample corpus has no vector distinct from a sampled " +
+          "query — widen the sample (a degenerate all-identical corpus has " +
+          "no recoverable neighbor structure to tune against)")
       val nnCell = Ivf.nearestIdx(best, cents)
       val probes = Ivf.nearestIdxs(q, cents, cents.length)
       probes.indexOf(nnCell) + 1

@@ -63,23 +63,37 @@ object ClipStreamJob {
 
   /** CONTENT-keyed streaming dedup: the same audio arriving again under a
     * different clip_id and/or codec (a transcoded re-upload) is dropped on
-    * ingest by its acoustic fingerprint — `Dedup.audioNearDup`'s exact key
-    * (sr, n_samples, f1), which a G.711 transcode preserves exactly, as
-    * the `dropDuplicatesWithinWatermark` key. The fingerprint reduction
-    * runs in the scan stage, so dedup STATE holds only the tiny key tuple
-    * (never bytes) and is evicted by the watermark — bounded state at any
-    * stream length. First arrival wins (id-level replay dedup is the
-    * sink's job; this is the content level above it). */
-  def audioDedupStream(clips: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    * ingest by its acoustic fingerprint via `dropDuplicatesWithinWatermark`.
+    * The fingerprint reduction runs in the scan stage, so dedup STATE
+    * holds only the tiny key tuple (never bytes) and is evicted by the
+    * watermark — bounded state at any stream length. First arrival wins
+    * (id-level replay dedup is the sink's job; this is the content level
+    * above it).
+    *
+    * KEY CHOICE — a wrong drop here is permanent data loss, so the key
+    * must err toward KEEPING: (sr, n_samples, f1) alone organically
+    * collides at corpus scale (two distinct clips of equal length and
+    * dominant tone), and unlike the batch detector there is no verify
+    * stage to reject the collision. The key therefore includes the second
+    * tone as a COARSE bucket (width `f2BucketHz`): a G.711 transcode
+    * jitters f2 by only a few Hz, so true re-uploads still collapse
+    * (except the ~jitter/width fraction straddling a bucket edge, which
+    * are KEPT — the benign direction, caught downstream by the batch
+    * near-dup), while organic collisions must now also match f2 within
+    * the bucket. For guaranteed-lossless dedup use `Dedup.audioNearDup*`,
+    * whose exact correlation verify has no false drops at any scale. */
+  def audioDedupStream(clips: DataFrame, watermark: String = "30 seconds",
+                       f2BucketHz: Int = 64): DataFrame =
     clips
       .withColumn("n_samples",
         graft.functions.GraftFunctions.pcm_sample_count(col("bytes"), col("codec")))
-      .withColumn("f1", element_at(
-        graft.functions.GraftFunctions.pcm_tone_pair(
-          col("bytes"), col("codec"), col("sr_hz")), 1))
+      .withColumn("fp", graft.functions.GraftFunctions.pcm_tone_pair(
+        col("bytes"), col("codec"), col("sr_hz")))
+      .withColumn("f1", element_at(col("fp"), 1))
+      .withColumn("f2b", (element_at(col("fp"), 2) / f2BucketHz).cast("int"))
       .withWatermark("event_time", watermark)
-      .dropDuplicatesWithinWatermark("sr_hz", "n_samples", "f1")
-      .drop("n_samples", "f1")
+      .dropDuplicatesWithinWatermark("sr_hz", "n_samples", "f1", "f2b")
+      .drop("fp", "n_samples", "f1", "f2b")
 
   /** Stateful stream-stream LEFT OUTER join of the clip stream with the
     * late transcript-update stream (J1 re-expression): equi-join on

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * commit markers under `<root>/_commits/`). Readers list only live files.
   */
 final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int = 16,
-    mergeOnRead: Boolean = false) {
+    mergeOnRead: Boolean = false, gcGraceMs: Long = 300000L) {
 
   private def dataDir: Path = Paths.get(root, "data")
   private def commitsDir: Path = Paths.get(root, "_commits")
@@ -66,7 +66,7 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
         s"table at $root was written with incompatible format '$have' (this build: '$formatId')")
     } else {
       val hasData = nonEmptyDir(dataDir) || nonEmptyDir(compactedDir) ||
-        nonEmptyDir(Paths.get(root, "delta"))
+        nonEmptyDir(Paths.get(root, "delta")) || baseVersions.nonEmpty
       require(!hasData,
         s"table at $root predates the _format marker (round-1 layout); re-merge into a fresh root")
       Files.createDirectories(Paths.get(root))
@@ -123,28 +123,104 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
 
   private def compactedDir: Path = Paths.get(root, "compacted")
 
-  /** Fold all MOR deltas into the compacted base and drop them — the
-    * maintenance operation an Iceberg `rewrite_data_files` would run
-    * (lineage columns kept as data columns). */
+  // ---------------------------------------------------------- compaction
+  //
+  // VERSIONED bases + grace-period GC (the Iceberg snapshot-expiry
+  // analog). compact() publishes the folded table as a NEW directory
+  // `compacted-v<N>` with one atomic rename — no live file or directory
+  // is ever renamed or deleted at publish time — and only SCHEDULES the
+  // superseded sources (previous base + folded deltas) for deletion.
+  // Physical deletion happens `gcGraceMs` later, so a reader that
+  // resolved file paths just before the compaction can still execute its
+  // plan (Spark reads lazily; deleting resolved files under it was a
+  // FileNotFoundException race). Overlap during the window is harmless:
+  // the MOR reader is latest-batch-wins idempotent, so base-vs-delta
+  // copies of a batch dedupe to identical rows. `gcGraceMs` must exceed
+  // the longest expected reader latency; 0 = delete eagerly
+  // (single-threaded tests / benchmarks).
+
+  private def baseVersions: Seq[(Int, Path)] =
+    listDir(Paths.get(root)).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("compacted-v") && n.length > 11 &&
+          n.drop(11).forall(_.isDigit) &&
+          listDir(p).exists(_.toString.endsWith(".parquet")))
+        Some(n.drop(11).toInt -> p)
+      else None
+    }.sortBy(_._1)
+
+  /** Pre-versioned layout's single `compacted` dir, still readable. */
+  private def legacyBase: Option[Path] =
+    Some(compactedDir).filter(p => listDir(p).exists(_.toString.endsWith(".parquet")))
+
+  private def latestBase: Option[Path] =
+    baseVersions.lastOption.map(_._2).orElse(legacyBase)
+
+  private def deltaBatchDirs: Seq[Path] =
+    listDir(Paths.get(root, "delta"))
+      .filter(d => d.getFileName.toString.startsWith("batch=") && nonEmptyDir(d))
+
+  // GC ledger: one marker file per superseded directory (filename =
+  // base64url of the root-relative path, content = schedule epoch-millis).
+  private def gcDir: Path = Paths.get(root, "_gc")
+  private def relOf(p: Path): String =
+    Paths.get(root).toAbsolutePath.normalize
+      .relativize(p.toAbsolutePath.normalize).toString
+  private def gcKey(rel: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+      rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def gcSchedule(p: Path): Unit = {
+    Files.createDirectories(gcDir)
+    val f = gcDir.resolve(gcKey(relOf(p)))
+    if (!Files.exists(f)) Files.writeString(f, System.currentTimeMillis().toString)
+  }
+  private def gcEntries: Seq[(String, Path, Long)] =
+    listDir(gcDir).flatMap { f =>
+      scala.util.Try {
+        val rel = new String(java.util.Base64.getUrlDecoder.decode(
+          f.getFileName.toString), java.nio.charset.StandardCharsets.UTF_8)
+        (rel, Paths.get(root).resolve(rel), Files.readString(f).trim.toLong)
+      }.toOption
+    }
+  private def gcSweep(): Unit = {
+    val now = System.currentTimeMillis()
+    gcEntries.foreach { case (rel, p, ts) =>
+      if (now - ts >= gcGraceMs) {
+        deleteRecursively(p)
+        Files.deleteIfExists(gcDir.resolve(gcKey(rel)))
+      }
+    }
+    val dp = Paths.get(root, "delta")
+    if (Files.exists(dp) && listDir(dp).isEmpty) Files.delete(dp)
+  }
+
+  /** Fold the current table (latest base + unfolded deltas) into a new
+    * base version — the maintenance operation an Iceberg
+    * `rewrite_data_files` would run (lineage columns kept as data
+    * columns). Crash-safe by construction: the only mutation of live
+    * state is one atomic rename of the complete staging dir to
+    * `compacted-v<N>`; a crash before it leaves an orphan staging dir
+    * (discarded here on the next run), a crash after it leaves the
+    * superseded sources unscheduled — read() then sees base+delta
+    * overlap, which latest-batch-wins resolves identically. */
   def compact(spark: SparkSession): Unit = synchronized {
     if (!mergeOnRead) return
-    recoverCompaction()
-    val current = read(spark)
+    recoverCompaction() // legacy _compact-trash from a pre-versioned crash
+    val gcSet = gcEntries.map(_._1).toSet
+    val base = latestBase.filterNot(p => gcSet.contains(relOf(p)))
+    val deltas = deltaBatchDirs.filterNot(p => gcSet.contains(relOf(p)))
+    if (base.isEmpty && deltas.isEmpty) { gcSweep(); return }
+    val current = morDedup(
+      spark.read.parquet((base.toSeq ++ deltas).map(_.toString): _*))
     val staging = Paths.get(root, "_compact-staging")
     deleteRecursively(staging)
     current.repartition(numBuckets, col("_bucket"))
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    // Swap via trash (two renames), never delete-then-move: a crash
-    // between a delete and a move would leave the only copy of the folded
-    // base in staging, which the next compact() discards. With the trash
-    // pattern every crash point leaves either the old base restorable
-    // (recoverCompaction) or the new base complete; deltas are dropped
-    // only after the new base is in place.
-    if (Files.exists(compactedDir))
-      Files.move(compactedDir, compactTrash, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, compactedDir, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(compactTrash)
-    deleteRecursively(Paths.get(root, "delta"))
+    val next = baseVersions.lastOption.map(_._1 + 1).getOrElse(0)
+    Files.move(staging, Paths.get(root, s"compacted-v$next"),
+      StandardCopyOption.ATOMIC_MOVE)
+    (base.toSeq ++ deltas).foreach(gcSchedule)
+    gcSweep()
   }
 
   private def compactTrash: Path = Paths.get(root, "_compact-trash")
@@ -194,9 +270,12 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     * is synchronized with merge/read on this instance). */
   def compactIfNeeded(spark: SparkSession, maxDeltas: Int = 16): Boolean = synchronized {
     if (!mergeOnRead) return false
-    val n = listDir(Paths.get(root, "delta"))
-      .count(_.getFileName.toString.startsWith("batch="))
-    if (n > maxDeltas) { compact(spark); true } else false
+    // only UNFOLDED deltas count toward the threshold — GC-scheduled ones
+    // are already in the latest base and merely await their grace window
+    val gcSet = gcEntries.map(_._1).toSet
+    val n = deltaBatchDirs.count(d => !gcSet.contains(relOf(d)))
+    if (n > maxDeltas) { compact(spark); true }
+    else { gcSweep(); false }
   }
 
   private def mergePersisted(spark: SparkSession, incoming: DataFrame,
@@ -263,22 +342,29 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     live ++= listDir(dataDir)
       .filter(d => d.getFileName.toString.startsWith("bucket=") && nonEmptyDir(d))
       .map(_.toString)
-    if (mergeOnRead && listDir(compactedDir).exists(_.toString.endsWith(".parquet")))
-      live += compactedDir.toString
-    if (mergeOnRead)
-      live ++= listDir(Paths.get(root, "delta"))
-        .filter(d => d.getFileName.toString.startsWith("batch=") && nonEmptyDir(d))
-        .map(_.toString)
+    if (mergeOnRead) {
+      // latest base + unfolded deltas; GC-scheduled dirs are excluded
+      // (their content is in the latest base) but stay on disk through
+      // the grace window for readers that already resolved their files
+      val gcSet = gcEntries.map(_._1).toSet
+      latestBase.filterNot(p => gcSet.contains(relOf(p)))
+        .foreach(b => live += b.toString)
+      live ++= deltaBatchDirs
+        .filterNot(d => gcSet.contains(relOf(d))).map(_.toString)
+    }
     if (live.isEmpty) return spark.emptyDataFrame
     val raw = spark.read.parquet(live.toSeq: _*)
-    if (!mergeOnRead) raw
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*)
-        .orderBy(col("_batch_id").desc, col("_part_id").desc)
-      raw.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-    }
+    if (!mergeOnRead) raw else morDedup(raw)
+  }
+
+  /** Latest-batch-wins dedupe per key — the MOR resolution shared by
+    * read() and compact(). */
+  private def morDedup(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_batch_id").desc, col("_part_id").desc)
+    raw.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
   }
 
   private def deleteRecursively(p: Path): Unit =

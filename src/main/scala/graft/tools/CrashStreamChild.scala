@@ -23,7 +23,10 @@ object CrashStreamChild {
       ClipStreamJob.tumblingCounts(
         ClipStreamJob.readClipStream(spark, live, maxFilesPerTrigger = 1)),
       table, ckpt, Trigger.AvailableNow(), outputMode = "update", maxDeltas = 3)
-    q.awaitTermination(300000)
+    val drained = q.awaitTermination(300000)
     spark.stop()
+    // a hung stream must NOT masquerade as a successful drain — the parent
+    // test distinguishes "recovery hang" (exit 3) from "sink divergence"
+    if (!drained) sys.exit(3)
   }
 }

@@ -54,6 +54,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unknown filter"))
   }
 
+  test("parseSpec keeps regex metacharacters ('+', ':', '=') intact in filter args") {
+    val spec = graft.operators.Extraction.parseSpec(
+      "F:name:text:regex=[0-9]+; G:phone:text:trim+regex=a+b:c=d")
+    assert(spec.fields(0).filters == Seq(("regex", "[0-9]+")),
+      s"trailing quantifier lost: ${spec.fields(0).filters}")
+    assert(spec.fields(1).filters == Seq(("trim", ""), ("regex", "a+b:c=d")),
+      s"regex arg split apart: ${spec.fields(1).filters}")
+  }
+
   test("session with GraftExtensions applies the rule and injects SQL functions") {
     // force a FRESH session (getOrCreate would return the shared one and
     // ignore withExtensions) — restore the shared default afterwards

@@ -60,29 +60,55 @@ class ExactlyOnceSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(trash))
   }
 
-  test("crash between the compaction swap renames is recovered, no data loss") {
-    // compact() swaps via (compacted -> _compact-trash, staging ->
-    // compacted). Simulate a crash after the first rename: the old base is
-    // parked in _compact-trash and the compacted dir is gone, but deltas
-    // (deleted only after the swap completes) are still present —
-    // recovery must restore the base so base+deltas is the full table.
+  test("compaction is crash-safe and defers deletion through the GC grace window") {
+    // compact() publishes `compacted-v<N>` with ONE atomic rename and only
+    // SCHEDULES superseded sources for deletion (grace-period GC): every
+    // crash point leaves either an orphan staging dir (discarded on the
+    // next run) or an unscheduled overlap that latest-batch-wins resolves.
+    // Readers that resolved files just before a compaction can still
+    // execute — nothing they reference is deleted inside the grace window.
     val dir = Files.createTempDirectory("tbl-compact-crash").toString
-    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true)
-    (0 until 3).foreach(i => t.merge(Seq((s"k$i", i), ("shared", i)).toDF("k", "v"), i))
-    t.compact(spark) // base now holds batches 0-2
-    t.merge(Seq(("k9", 9)).toDF("k", "v"), 3) // one new delta
-    val truth = t.read(spark).select("k", "v").as[(String, Int)].collect().toMap
-    val base = java.nio.file.Paths.get(dir, "compacted")
-    val trash = java.nio.file.Paths.get(dir, "_compact-trash")
-    java.nio.file.Files.move(base, trash)
-    // read() alone restores the parked base
-    assert(t.read(spark).select("k", "v").as[(String, Int)].collect().toMap == truth)
-    // crash again, then a full compact() must fold base+delta losslessly
-    java.nio.file.Files.move(base, trash)
-    t.compact(spark)
-    assert(t.read(spark).select("k", "v").as[(String, Int)].collect().toMap == truth)
-    assert(!java.nio.file.Files.exists(trash))
+    val deferred = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true,
+      gcGraceMs = Long.MaxValue)
+    (0 until 3).foreach(i =>
+      deferred.merge(Seq((s"k$i", i), ("shared", i)).toDF("k", "v"), i))
+    // a reader plan resolved BEFORE compaction…
+    val preCompactRead = deferred.read(spark).select("k", "v")
+    deferred.compact(spark)
+    val truth = Map("k0" -> 0, "k1" -> 1, "k2" -> 2, "shared" -> 2)
+    // …must still execute afterwards: its delta files are GC-scheduled,
+    // not deleted (this exact sequence was a FileNotFoundException race
+    // when compact() deleted the delta dirs eagerly)
+    assert(preCompactRead.as[(String, Int)].collect().toMap == truth)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "delta")))
+    assert(deferred.read(spark).select("k", "v")
+      .as[(String, Int)].collect().toMap == truth)
+
+    // crash before publish: an orphan (even corrupt) staging dir is
+    // discarded by the next compact
+    val staging = java.nio.file.Paths.get(dir, "_compact-staging")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.writeString(staging.resolve("garbage"), "not parquet")
+    deferred.merge(Seq(("k9", 9)).toDF("k", "v"), 3)
+    deferred.compact(spark)
+    assert(!java.nio.file.Files.exists(staging))
+    assert(deferred.read(spark).select("k", "v")
+      .as[(String, Int)].collect().toMap == truth + ("k9" -> 9))
+
+    // an eager-GC handle on the SAME root sweeps everything superseded
+    val eager = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true,
+      gcGraceMs = 0L)
+    eager.compact(spark)
+    assert(eager.read(spark).select("k", "v")
+      .as[(String, Int)].collect().toMap == truth + ("k9" -> 9))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "delta")))
+    // exactly one live base version remains after the sweep
+    val bases = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    var nBases = 0
+    while (bases.hasNext) {
+      if (bases.next().getFileName.toString.startsWith("compacted-v")) nBases += 1
+    }
+    assert(nBases == 1, s"expected 1 base version, found $nBases")
   }
 
   test("a table from an incompatible format version is refused, not corrupted") {
@@ -103,7 +129,9 @@ class ExactlyOnceSpec extends AnyFunSuite {
 
   test("compactIfNeeded folds deltas once past the threshold, rows stable") {
     val dir = Files.createTempDirectory("tbl-autocompact").toString
-    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true)
+    // eager GC so the folded deltas are physically gone below
+    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true,
+      gcGraceMs = 0L)
     (0 until 5).foreach(i => t.merge(Seq((s"k$i", i), ("shared", i)).toDF("k", "v"), i))
     assert(!t.compactIfNeeded(spark, maxDeltas = 8)) // under threshold
     val before = t.read(spark).select("k", "v").as[(String, Int)].collect().toMap

@@ -45,8 +45,10 @@ class SoakSpec extends AnyFunSuite {
     val tableDir = Files.createTempDirectory("soak-sink").toString
     val ckpt = Files.createTempDirectory("soak-ckpt").toString
     val metricsPath = Files.createTempDirectory("soak-metrics").resolve("m.jsonl").toString
+    // eager GC: the soak's delta-count bound below measures the
+    // maintenance policy, not the grace window
     val table = ClipTable(tableDir, Seq("w_start_ms", "codec", "sr_hz"),
-      numBuckets = 2, mergeOnRead = true)
+      numBuckets = 2, mergeOnRead = true, gcGraceMs = 0L)
     def plan() = ClipStreamJob.tumblingCounts(
       ClipStreamJob.readClipStream(spark, live, maxFilesPerTrigger = 1))
     val listener = MetricsListener.attach(spark, metricsPath)
@@ -144,8 +146,17 @@ class SoakSpec extends AnyFunSuite {
       sampleDeltas()
       assert(maxDeltasSeen <= soakMaxDeltas + 1,
         s"deltas unbounded: saw $maxDeltasSeen > ${soakMaxDeltas + 1}")
-      assert(Files.exists(Paths.get(tableDir, "compacted")),
-        "no compaction ran during the soak")
+      val compactionRan = {
+        val s = Files.list(Paths.get(tableDir))
+        try {
+          val it = s.iterator()
+          var found = false
+          while (it.hasNext && !found)
+            found = it.next().getFileName.toString.startsWith("compacted-v")
+          found
+        } finally s.close()
+      }
+      assert(compactionRan, "no compaction ran during the soak")
     } finally spark.streams.removeListener(listener)
   }
 }
