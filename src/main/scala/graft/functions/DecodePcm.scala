@@ -295,6 +295,8 @@ object GraftFunctions {
 
   def ppm_luma_mean(bytes: Column): Column = toColumn(PpmLumaMean(toExpr(bytes)))
 
+  def y4m_motion_stats(bytes: Column): Column = toColumn(Y4mMotionStats(toExpr(bytes)))
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def lang_id_ngram(text: Column): Column = toColumn(LangIdNgram(toExpr(text)))
   def rel_url(base: Column, rel: Column): Column =
@@ -335,6 +337,8 @@ object GraftFunctions {
       es => PcmQuality(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("ppm_luma_mean",
       es => PpmLumaMean(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("y4m_motion_stats",
+      es => Y4mMotionStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_aligned_corr",
       es => PcmAlignedCorr(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")

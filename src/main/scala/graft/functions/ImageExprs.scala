@@ -25,3 +25,27 @@ case class PpmLumaMean(child: Expression)
       s"${ev.value} = graft.image.ImageCodec.lumaMean($b);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
+
+/** `y4m_motion_stats(bytes) -> array<double>` — [n_frames, mean_luma,
+  * mean |Δ frame-mean luma|] of an uncompressed YUV4MPEG2 payload in one
+  * fused pass over the luma planes (chroma never read; see
+  * graft.image.Y4mCodec.motionStats). The video modality's scan-stage
+  * temporal reduction behind static-vs-motion flagging. */
+case class Y4mMotionStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"y4m_motion_stats expects binary, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "y4m_motion_stats"
+  override def nullSafeEval(bytes: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      graft.image.Y4mCodec.motionStats(bytes.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.image.Y4mCodec.motionStats($b));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

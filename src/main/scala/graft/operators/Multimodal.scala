@@ -10,14 +10,15 @@ import graft.audio.AudioSynth.mix64
   *
   * Audio is this engine's fully-REAL modality (native decode/filterbank
   * expressions in graft.functions). Images are REAL for uncompressed
-  * netpbm payloads (P5/P6 — graft.image.ImageCodec: header parse, raster
-  * decode, luma, bilinear resize, histogram; no library needed); only
-  * COMPRESSED image codecs (JPEG/PNG) and video remain STUBBED behind
-  * deterministic fakes, because their decoders need libraries this
-  * environment does not have — the Spark plumbing (schema, batching,
-  * partition-parallel transform, metadata handling) is identical either
-  * way, and a real JPEG/H.264 decoder drops into [[MediaKernels]] without
-  * touching the plan.
+  * netpbm payloads (P5/P6 — graft.image.ImageCodec) and video is REAL
+  * for uncompressed YUV4MPEG2 (graft.image.Y4mCodec: header parse, frame
+  * walk, luma sampling; no library needed); only COMPRESSED codecs
+  * (JPEG/PNG/H.264...) remain STUBBED behind deterministic fakes,
+  * because their decoders need libraries this environment does not
+  * have — the Spark plumbing (schema, batching, partition-parallel
+  * transform, metadata handling) is identical either way, and a real
+  * JPEG/H.264 decoder drops into [[MediaKernels]] without touching the
+  * plan.
   *
   * The transform runs via `mapPartitions` on a typed Dataset — the Scala
   * analog of `mapInPandas`: one JVM-side batch per partition, no per-row
@@ -101,10 +102,21 @@ object Multimodal {
                 MediaKernels.resizeStub(px, outW, outH), outW, outH, 1)
             }
           case "video" =>
-            val frames = MediaKernels.sampleFramesStub(a.bytes, a.n_frames, frameStride)
-            MediaFeature(a.asset_id, a.kind,
-              frames.map(f => (java.lang.Long.remainderUnsigned(f, 1000L)) / 1000.0f),
-              a.width, a.height, frames.length)
+            // REAL path for uncompressed y4m payloads (frame-sampled luma
+            // means); compressed codecs and corrupt payloads fall back to
+            // the stub, same policy as images.
+            val real: Option[MediaFeature] =
+              if (!graft.image.Y4mCodec.isY4m(a.bytes)) None
+              else scala.util.Try {
+                val means = graft.image.Y4mCodec.sampleFrameMeans(a.bytes, frameStride)
+                MediaFeature(a.asset_id, a.kind, means, a.width, a.height, means.length)
+              }.toOption
+            real.getOrElse {
+              val frames = MediaKernels.sampleFramesStub(a.bytes, a.n_frames, frameStride)
+              MediaFeature(a.asset_id, a.kind,
+                frames.map(f => (java.lang.Long.remainderUnsigned(f, 1000L)) / 1000.0f),
+                a.width, a.height, frames.length)
+            }
           case other => throw new IllegalArgumentException(s"unknown kind: $other")
         }
       }
@@ -135,7 +147,12 @@ object Multimodal {
             p += 1
           }
           graft.image.ImageCodec.encode(graft.image.ImageCodec.Image(w, ht, 3, px))
-        case _ => Array.tabulate(256)(j => mix64(h + j).toByte)
+        case _ => // REAL uncompressed y4m: 32 seeded grayscale frames
+          graft.image.Y4mCodec.encode(64, 48, (0 until 32).map { f =>
+            Array.tabulate(64 * 48)(p =>
+              0.2f + 0.6f * (java.lang.Long.remainderUnsigned(
+                mix64(h + f * 4801L + p), 1000L) / 999f))
+          })
       }
       MediaAsset(f"asset-$i%05d", kind, bytes,
         width = 64, height = 48,
@@ -143,7 +160,7 @@ object Multimodal {
         codec = kind match {
           case "audio" => "ulaw"
           case "image" => "ppm"
-          case _ => "stub"
+          case _ => "y4m"
         })
     }
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.fixtures.ImageGen
+import graft.fixtures.{ImageGen, VideoGen}
 import graft.functions.GraftFunctions._
 
 /** Image-modality query surface: REAL uncompressed netpbm payloads
@@ -17,6 +17,8 @@ object ImageQueries {
   /** Driver verifies at sf0.01 — oracle paths are pinned to that scale. */
   def imagesGlob(sf: String = "sf0.01"): String =
     s"/root/repo/data/images/$sf/images/*.parquet"
+  def videosGlob(sf: String = "sf0.01"): String =
+    s"/root/repo/data/videos/$sf/videos/*.parquet"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -36,6 +38,24 @@ object ImageQueries {
             .as("verdict"))
         .filter(col("verdict").isNotNull)
         .orderBy("image_id")
+    }),
+
+    // Video TEMPORAL quality flagging: y4m luma planes reduced in the scan
+    // stage to [n_frames, mean_luma, mean |Δ frame-mean|] — static videos
+    // (planted at idx%20==3, identical frames, delta exactly 0) and
+    // high-motion ones (idx%20==13, alternating dark/bright, delta ~0.7)
+    // must be recovered from the BYTES; organic drift (~0.02) sits an
+    // order of magnitude from both thresholds.
+    "v1_video_quality" -> ((s, dir) => {
+      VideoGen.readVideos(s, dir)
+        .select(col("video_id"),
+          y4m_motion_stats(col("bytes")).as("m"))
+        .select(col("video_id"),
+          when(element_at(col("m"), 3) <= 0.001, lit("static"))
+            .when(element_at(col("m"), 3) >= 0.3, lit("high_motion"))
+            .as("verdict"))
+        .filter(col("verdict").isNotNull)
+        .orderBy("video_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -45,5 +65,12 @@ object ImageQueries {
          |    THEN 'dark' ELSE 'bright' END AS verdict
          |FROM read_parquet('${imagesGlob()}')
          |WHERE CAST(substr(image_id, 5, 8) AS INTEGER) % 20 IN (7, 17)
+         |ORDER BY 1""".stripMargin,
+    "v1_video_quality" ->
+      s"""SELECT video_id,
+         |  CASE WHEN CAST(substr(video_id, 5, 8) AS INTEGER) % 20 = 3
+         |    THEN 'static' ELSE 'high_motion' END AS verdict
+         |FROM read_parquet('${videosGlob()}')
+         |WHERE CAST(substr(video_id, 5, 8) AS INTEGER) % 20 IN (3, 13)
          |ORDER BY 1""".stripMargin)
 }

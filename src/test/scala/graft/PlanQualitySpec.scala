@@ -141,6 +141,18 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("v1: video motion stats never shuffle video bytes") {
+    val plan = SparkEntry.queries("v1_video_quality")(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("bytes"), s"video bytes reach a shuffle: $cols")
+    }
+  }
+
   test("c16: quality scoring never shuffles audio bytes") {
     // pcm_quality reduces each clip in the scan stage; the only exchange
     // in the plan may be the final oracle-ordering sort of (id, verdict)

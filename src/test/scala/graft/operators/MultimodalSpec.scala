@@ -50,4 +50,22 @@ class MultimodalSpec extends AnyFunSuite {
       spark.createDataset(Seq(jpegish))).collect()
     assert(s.feature.length == 64)
   }
+
+  test("video features use the REAL y4m path, not the stub") {
+    import graft.image.Y4mCodec
+    // a constant-luma y4m: every sampled-frame mean equals that luma —
+    // the stub (byte-length-hash frame signatures) cannot produce this
+    val const = Y4mCodec.encode(16, 12, Seq.fill(8)(Array.fill(16 * 12)(0.25f)))
+    val asset = Multimodal.MediaAsset("vid-const", "video", const, 16, 12, 8, "y4m")
+    val Array(f) = Multimodal.extractFeatures(
+      spark.createDataset(Seq(asset))).collect()
+    assert(f.n_sampled_frames == 2) // 8 frames / stride 4
+    assert(f.feature.forall(m => math.abs(m - 0.25f) < 2e-3), f.feature.toSeq.toString)
+    // corrupt payload claiming the y4m magic falls back to the stub
+    val corrupt = Multimodal.MediaAsset("vid-bad", "video",
+      "YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\nxx".getBytes("US-ASCII"), 4, 4, 8, "y4m")
+    val Array(sb) = Multimodal.extractFeatures(
+      spark.createDataset(Seq(corrupt))).collect()
+    assert(sb.n_sampled_frames == 2) // stub: 8 frames / stride 4
+  }
 }
