@@ -304,6 +304,8 @@ object GraftFunctions {
   def sim_hash(text: Column): Column = toColumn(SimHash(toExpr(text)))
   def jaccard_sim(a: Column, b: Column): Column =
     toColumn(JaccardSim(toExpr(a), toExpr(b)))
+  def portable_bucket(s: Column, n: Column): Column =
+    toColumn(PortableBucket(toExpr(s), toExpr(n)))
   def min_hash(text: Column, k: Column): Column =
     toColumn(MinHashSig(toExpr(text), toExpr(k)))
   def winnow_fp(text: Column): Column = toColumn(WinnowFingerprint(toExpr(text)))
@@ -350,6 +352,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("sim_hash", es => SimHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sim",
       es => JaccardSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("portable_bucket",
+      es => PortableBucket(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("min_hash", es => MinHashSig(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fp", es => WinnowFingerprint(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")

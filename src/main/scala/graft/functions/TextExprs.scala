@@ -227,6 +227,12 @@ object TextOps {
     h
   }
 
+  /** Unsigned `portableHash64 mod n` — see [[PortableBucket]]. */
+  def portableBucket(s: String, n: Int): Int = {
+    require(n >= 1, s"bucket count must be >= 1, got $n")
+    java.lang.Long.remainderUnsigned(portableHash64(s), n.toLong).toInt
+  }
+
   /** Resolve `rel` against `base` (java.net.URI semantics; malformed
     * inputs pass `rel` through, like the reference's lenient handling). */
   def relUrl(base: String, rel: String): String =
@@ -453,6 +459,29 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.TextOps.jaccard(" +
         s"$a.toString(), $b.toString(), 3);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** `portable_bucket(s, n)` -> int — unsigned `portableHash64(s) mod n`,
+  * bit-identical to DuckDB's `md5_number_lower(s) % n` (UBIGINT
+  * arithmetic). The deterministic, partition-independent assignment
+  * primitive behind train/val/test splitting: a pure function of the
+  * row's id — stable across cluster sizes, replays, and engines. */
+case class PortableBucket(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "portable_bucket"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType &&
+        right.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"portable_bucket expects (string, int), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(s: Any, n: Any): Any =
+    TextOps.portableBucket(s.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.functions.TextOps.portableBucket($s.toString(), $n);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r)
 }

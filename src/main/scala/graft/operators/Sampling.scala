@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Dataset-curation sampling operators — the selection steps of a
+  * training-data pipeline, built on DETERMINISTIC hashing rather than
+  * randomness: `DataFrame.sample`/`randomSplit` are partition-order
+  * dependent (a re-read, a different cluster size, or AQE re-planning
+  * changes the sample), which is unacceptable for a train/test split that
+  * must be reproducible and leak-free forever after. Here membership is a
+  * pure function of the row's id (md5-based, oracle-portable), so:
+  *
+  *   - the same row lands in the same split on any cluster, any engine;
+  *   - adding/removing OTHER rows never moves an existing row (stable
+  *     under incremental corpus growth — the property random seeds lose);
+  *   - both operators are one narrow map / one window — no extra shuffle
+  *     beyond what the semantics require.
+  */
+object Sampling {
+
+  /** Deterministic train/val/test assignment by id hash: bucket =
+    * unsigned md5-hash(id) mod 1000, train < trainPermille <= val <
+    * trainPermille + valPermille <= test. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         trainPermille: Int = 800, valPermille: Int = 100,
+                         splitCol: String = "split"): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"permilles out of range: train=$trainPermille val=$valPermille")
+    // hash the STRING form of the id (DuckDB md5_number_lower(VARCHAR)
+    // parity for numeric ids)
+    val b = portable_bucket(col(idCol).cast("string"), lit(1000))
+    df.withColumn(splitCol,
+      when(b < trainPermille, lit("train"))
+        .when(b < trainPermille + valPermille, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Frequency capping (dataset-balance staple: "at most N documents per
+    * domain/language/source"): keeps the `n` rows of each group that rank
+    * first by (md5-hex(id), id) — a deterministic priority, so the KEPT
+    * SET is stable across runs and engines, and hex-string ordering
+    * matches DuckDB's unsigned comparison for the oracle. One shuffle on
+    * the group key (the window), nothing else. Skewed groups cost one
+    * window partition each — cap candidates per group are streamed by the
+    * window operator, never collected. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    // hash the STRING form of the id (DuckDB md5(VARCHAR) parity; a raw
+    // int-to-binary cast would hash different bytes than the oracle)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("_cap_rn", row_number().over(w))
+      .filter(col("_cap_rn") <= n)
+      .drop("_cap_rn")
+  }
+}

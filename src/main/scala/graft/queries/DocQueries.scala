@@ -53,6 +53,27 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // DETERMINISTIC train/val/test split (Sampling.deterministicSplit):
+    // membership is a pure function of the id's md5 hash — reproducible
+    // on any cluster size / engine (unlike randomSplit, which is
+    // partition-order dependent), and stable under corpus growth. The
+    // oracle reproduces the exact assignment via md5_number_lower.
+    "t5_split" -> ((s, dir) => {
+      graft.operators.Sampling.deterministicSplit(docs(s, dir), "doc_id")
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    }),
+
+    // FREQUENCY CAPPING (Sampling.capPerGroup): at most 20 docs per lang,
+    // kept set chosen by deterministic hash priority — the dataset-balance
+    // staple. Hex-md5 ordering matches DuckDB's string comparison, so the
+    // oracle states the exact kept set.
+    "t6_cap" -> ((s, dir) => {
+      graft.operators.Sampling.capPerGroup(
+        docs(s, dir).select("doc_id", "lang"), "lang", "doc_id", 20)
+        .orderBy("lang", "doc_id")
+    }),
+
     // Language-ID heuristic + simhash + winnowing fingerprint. All three
     // are fully oracled: the token/shingle hash is the oracle-portable md5
     // lower half (== DuckDB md5_number_lower), signatures/fingerprints are
@@ -314,6 +335,21 @@ object DocQueries {
         |  CAST(floor(100.0 * length(regexp_replace(text, '\s+', '', 'g'))
         |    / len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avg_wordlen_x100
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_split" ->
+      """SELECT lang,
+        |  CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000::UBIGINT
+        |         < 800 THEN 'train'
+        |       WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000::UBIGINT
+        |         < 900 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t6_cap" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
     "t4_token_quality" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens,

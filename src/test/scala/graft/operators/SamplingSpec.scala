@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, s"grp${i % 5}")).toDF("id", "grp")
+
+  test("deterministicSplit: pure function of id — partition- and growth-stable") {
+    val base = Sampling.deterministicSplit(corpus(2000), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // identical at any partitioning (randomSplit fails exactly this)
+    val reparted = Sampling.deterministicSplit(corpus(2000).repartition(13), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(reparted == base)
+    // growing the corpus never moves an existing row's split
+    val grown = Sampling.deterministicSplit(corpus(3000), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(base.forall { case (id, s) => grown(id) == s })
+    // fractions land near 80/10/10 (hash uniformity)
+    val counts = base.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100, counts.toString)
+    assert(math.abs(counts("val") - 200) < 60, counts.toString)
+    assert(math.abs(counts("test") - 200) < 60, counts.toString)
+    // degenerate permilles rejected
+    intercept[IllegalArgumentException](
+      Sampling.deterministicSplit(corpus(10), "id", trainPermille = 900,
+        valPermille = 200))
+  }
+
+  test("capPerGroup: exact cap, deterministic kept set, stable across partitioning") {
+    val capped = Sampling.capPerGroup(corpus(1000), "grp", "id", 7)
+      .select("id", "grp").as[(Long, String)].collect().sorted.toSeq
+    assert(capped.length == 5 * 7)
+    assert(capped.map(_._2).groupBy(identity).forall(_._2.size == 7))
+    val again = Sampling.capPerGroup(corpus(1000).repartition(11), "grp", "id", 7)
+      .select("id", "grp").as[(Long, String)].collect().sorted.toSeq
+    assert(again == capped)
+    // groups smaller than the cap pass through whole
+    val tiny = Sampling.capPerGroup(corpus(3), "grp", "id", 7)
+    assert(tiny.count() == 3)
+  }
+}
