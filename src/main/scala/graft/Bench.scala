@@ -194,9 +194,13 @@ object Bench {
     // cores in the decode scan stage (input-split parallelism).
     val streamShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt
 
-    // --- phase 0: ensure clip table exists (generation excluded from timing)
+    // --- phase 0: ensure ALL fixture tables exist (generation excluded
+    // from timing — ADVICE r3: on a cold data dir the first timed i1/v1
+    // run used to include ImageGen/VideoGen generation + parquet write).
     val sparkGen = session(cpusHead, cpusHead)
     val (clipsPath, updatesPath) = ClipGen.ensure(sparkGen, sfDir)
+    val imagesPath = graft.fixtures.ImageGen.ensure(sparkGen, sfDir)
+    val videosPath = graft.fixtures.VideoGen.ensure(sparkGen, sfDir)
     val nClips = ClipGen.clipCountFor(sfDir)
 
     // --- phase 1: per-query batch timings at headline parallelism.
@@ -219,6 +223,8 @@ object Bench {
       warmPageCache(clipsPath)
       warmPageCache(updatesPath)
       warmPageCache(sfDir)
+      warmPageCache(imagesPath)
+      warmPageCache(videosPath)
       val t0 = System.nanoTime()
       val ok = try { fn(sparkGen, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }

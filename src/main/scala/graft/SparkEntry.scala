@@ -30,7 +30,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ ClipQueries.oracleSql ++ DocQueries.oracleSql ++
-      ImageQueries.oracleSql
+  def oracleSql: Map[String, String] = oracleSqlFor("sf0.01")
+
+  /** Same, with self-generated fixture globs (clips/images/videos) derived
+    * from the harness's scale factor name — the relational oracles resolve
+    * tables driver-side and are already scale-independent. */
+  def oracleSqlFor(sfName: String): Map[String, String] =
+    RelationalQueries.oracleSql ++ ClipQueries.oracleSqlFor(sfName) ++
+      DocQueries.oracleSql ++ ImageQueries.oracleSqlFor(sfName)
 }

@@ -27,7 +27,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Fixture-backed oracles (clips/images/videos) must read the SAME scale
+    // the engine ran at — derive the sf name from the harness's sfDir.
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val json = SparkEntry.oracleSqlFor(sfName)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -204,6 +204,11 @@ object ClipGen {
     val marker = dir.resolve("_gen_version")
     val n = clipCountFor(sfDir)
     val want = s"v$Version n$n"
+    // The mtime-ordered partitioned layout can't move to a versioned dir
+    // name cheaply (24 GB at sf1), so racing sessions are serialized with a
+    // cross-process flock instead; the marker check re-runs under the lock
+    // so the loser of the race sees the winner's output and skips.
+    FixtureDirs.withProcessLock(dir) {
     val have = if (Files.exists(marker)) Files.readString(marker).trim else ""
     if (have != want) {
       deleteDir(Paths.get(clipsPath))
@@ -234,6 +239,7 @@ object ClipGen {
       Files.writeString(marker, want)
     }
     (clipsPath, updatesPath)
+    } // withProcessLock
   }
 
   def readClips(spark: SparkSession, sfDir: String): DataFrame = {

@@ -60,26 +60,33 @@ object ImageGen {
     spark.range(n).map(i => imageRow(i)).toDF()
   }
 
+  /** Target directory name encodes the generation key — existence is
+    * validity, so no marker file and no read-check-write race. */
+  def targetName(sfDir: String): String =
+    s"images-v$Version-n${imageCountFor(sfDir)}"
+
+  /** Path the table lives at for this scale (whether or not generated yet)
+    * — the oracle glob and the engine read derive from the same function. */
+  def tablePath(sfDir: String, root: String = "/root/repo/data/images"): String =
+    Paths.get(root, Paths.get(sfDir).getFileName.toString, targetName(sfDir)).toString
+
   /** Generate (or reuse cached) the image table for `sfDir`; returns its
-    * path. Independent dir + version marker from ClipGen so adding images
-    * never invalidates a generated clips table. */
+    * path. Concurrency-safe: racing sessions write private temp dirs and
+    * one atomic rename publishes (ADVICE r3 — the old marker-after-
+    * Overwrite pattern could expose a partially-rewritten directory). */
   def ensure(spark: SparkSession, sfDir: String,
              root: String = "/root/repo/data/images"): String = {
     val name = Paths.get(sfDir).getFileName.toString
-    val dir = Paths.get(root, name)
-    val imagesPath = dir.resolve("images").toString
-    val marker = dir.resolve("_gen_version")
     val n = imageCountFor(sfDir)
-    val want = s"v$Version n$n"
-    val have = if (Files.exists(marker)) Files.readString(marker).trim else ""
-    if (have != want) {
+    val out = FixtureDirs.ensureAtomic(Paths.get(root, name), targetName(sfDir)) { tmp =>
       imagesDf(spark, n)
         .repartition(4)
-        .write.mode(SaveMode.Overwrite).parquet(imagesPath)
-      Files.createDirectories(dir)
-      Files.writeString(marker, want)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    imagesPath
+    // Best-effort cleanup of the pre-v2-layout unversioned dir + marker.
+    FixtureDirs.deleteRecursively(Paths.get(root, name, "images"))
+    Files.deleteIfExists(Paths.get(root, name, "_gen_version"))
+    out
   }
 
   def readImages(spark: SparkSession, sfDir: String): DataFrame =

@@ -61,23 +61,27 @@ object VideoGen {
     spark.range(n).map(i => videoRow(i)).toDF()
   }
 
+  /** Target directory name encodes the generation key — existence is
+    * validity, so no marker file and no read-check-write race. */
+  def targetName(sfDir: String): String =
+    s"videos-v$Version-n${videoCountFor(sfDir)}"
+
+  def tablePath(sfDir: String, root: String = "/root/repo/data/videos"): String =
+    Paths.get(root, Paths.get(sfDir).getFileName.toString, targetName(sfDir)).toString
+
+  /** Concurrency-safe generate-once (see ImageGen.ensure). */
   def ensure(spark: SparkSession, sfDir: String,
              root: String = "/root/repo/data/videos"): String = {
     val name = Paths.get(sfDir).getFileName.toString
-    val dir = Paths.get(root, name)
-    val videosPath = dir.resolve("videos").toString
-    val marker = dir.resolve("_gen_version")
     val n = videoCountFor(sfDir)
-    val want = s"v$Version n$n"
-    val have = if (Files.exists(marker)) Files.readString(marker).trim else ""
-    if (have != want) {
+    val out = FixtureDirs.ensureAtomic(Paths.get(root, name), targetName(sfDir)) { tmp =>
       videosDf(spark, n)
         .repartition(4)
-        .write.mode(SaveMode.Overwrite).parquet(videosPath)
-      Files.createDirectories(dir)
-      Files.writeString(marker, want)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    videosPath
+    FixtureDirs.deleteRecursively(Paths.get(root, name, "videos"))
+    Files.deleteIfExists(Paths.get(root, name, "_gen_version"))
+    out
   }
 
   def readVideos(spark: SparkSession, sfDir: String): DataFrame =

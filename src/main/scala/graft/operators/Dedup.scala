@@ -201,15 +201,29 @@ object Dedup {
       .select(col("id"), col("sr"), col("n"), col("f1"), col("f2"), col("nb"),
         explode(array((col("f2") / f2W).cast("int"),
           (col("f2") / f2W).cast("int") + 1)).as("f2b"))
-    val a = fp.select(col("sr"), col("f1"), col("nb"), col("f2b"),
-      col("id").as("id_a"), col("n").as("n_a"), col("f2").as("f2_a"))
-    val b = fp.select(col("sr"), col("f1"), col("nb"), col("f2b"),
-      col("id").as("id_b"), col("n").as("n_b"), col("f2").as("f2_b"))
-    val cands = a.join(b, Seq("sr", "f1", "nb", "f2b"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(abs(col("n_a") - col("n_b")) <= maxTrim)
-      .filter(abs(col("f2_a") - col("f2_b")) <= tolHz)
-      .select(col("id_a"), col("id_b"))
+    // Candidate pairing as groupBy-bucket + in-group pair generation, NOT a
+    // fingerprint self-join (ADVICE r3). A self-join runs the
+    // pcm_tone_pair DSP scan — the dominant per-clip cost — once per
+    // side, and its equi-keys make Catalyst infer IsNotNull constraints
+    // that re-evaluate the kernel a second time per row INSIDE a filter
+    // below each side (measured 4x total kernel cost). The groupBy form
+    // scans the corpus once, shuffles only tiny fingerprint rows with no
+    // inferred constraint filters, and pairs within each bucket (the
+    // bucket IS the LSH bucket — group sizes carry the same documented
+    // skew bound as the join's key groups). Null keys: a null n/f2 makes
+    // the lambda predicate null (dropped, matching the join's null-key
+    // semantics); null sr/f1 are guarded explicitly on the cheap
+    // materialized group-key columns.
+    val cands = fp
+      .groupBy(col("sr"), col("f1"), col("nb"), col("f2b"))
+      .agg(collect_list(struct(col("id"), col("n"), col("f2"))).as("xs"))
+      .select(col("sr"), col("f1"), explode(col("xs")).as("x"), col("xs"))
+      .select(col("x"), explode(filter(col("xs"), y =>
+        col("sr").isNotNull && col("f1").isNotNull &&
+          col("x.id") < y("id") &&
+          abs(col("x.n") - y("n")) <= maxTrim &&
+          abs(col("x.f2") - y("f2")) <= tolHz)).as("y"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val payload = clips.select(col(idCol).as("id"),
       col(bytesCol).as("pbytes"), col(codecCol).as("pcodec"))
@@ -231,13 +245,16 @@ object Dedup {
       pcm_tone_pair(col(bytesCol), col(codecCol), col(srCol)).as("tones"))
       .select(col("id"), col("sr"), col("n"),
         element_at(col("tones"), 1).as("f1"), element_at(col("tones"), 2).as("f2"))
-    val a = fp.select(col("sr"), col("n"), col("f1"),
-      col("id").as("id_a"), col("f2").as("f2_a"))
-    val b = fp.select(col("sr"), col("n"), col("f1"),
-      col("id").as("id_b"), col("f2").as("f2_b"))
-    a.join(b, Seq("sr", "n", "f1"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(abs(col("f2_a") - col("f2_b")) <= tolHz)
-      .select(col("id_a"), col("id_b"))
+    // GroupBy-bucket pairing, one scan + one fingerprint shuffle — see the
+    // audioNearDupShift comment for why this beats a fingerprint self-join
+    // (ADVICE r3: single DSP scan, no inferred-constraint re-evaluation).
+    fp.groupBy(col("sr"), col("n"), col("f1"))
+      .agg(collect_list(struct(col("id"), col("f2"))).as("xs"))
+      .select(col("sr"), col("n"), col("f1"), explode(col("xs")).as("x"), col("xs"))
+      .select(col("x"), explode(filter(col("xs"), y =>
+        col("sr").isNotNull && col("n").isNotNull && col("f1").isNotNull &&
+          col("x.id") < y("id") &&
+          abs(col("x.f2") - y("f2")) <= tolHz)).as("y"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
   }
 }

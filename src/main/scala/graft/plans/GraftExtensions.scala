@@ -46,9 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.operators.Extraction", "clip_cards"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(es.length == 1 && es.head.foldable,
-          "clip_cards(path) expects one string literal")
-        val path = es.head.eval().toString
+        val Seq(path) = stringLiteralArgs("clip_cards(path)", es, 1)
         val spark = org.apache.spark.sql.SparkSession.active
         graft.operators.Extraction(graft.queries.ClipQueries.cardsSpec)(
           spark.read.parquet(path)).queryExecution.analyzed
@@ -64,13 +62,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         "graft.operators.Extraction", "clip_extract"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(es.length == 2 && es.forall(_.foldable),
-          "clip_extract(path, spec) expects two string literals")
-        val path = es(0).eval().toString
-        val spec = graft.operators.Extraction.parseSpec(es(1).eval().toString)
+        val Seq(path, specStr) = stringLiteralArgs("clip_extract(path, spec)", es, 2)
+        val spec = graft.operators.Extraction.parseSpec(specStr)
         val spark = org.apache.spark.sql.SparkSession.active
         graft.operators.Extraction(spec)(
           spark.read.parquet(path)).queryExecution.analyzed
       }))
+  }
+
+  /** Validate TVF arguments: exactly `n` foldable non-NULL StringType
+    * expressions, each failure raising the same descriptive
+    * IllegalArgumentException as the arity check (ADVICE r3: a foldable
+    * NULL literal previously escaped as NullPointerException, and non-
+    * string foldables were silently accepted via toString). */
+  private def stringLiteralArgs(
+      sig: String,
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      n: Int): Seq[String] = {
+    require(es.length == n && es.forall(_.foldable),
+      s"$sig expects $n string literal${if (n == 1) "" else "s"}")
+    es.map { e =>
+      require(e.dataType == org.apache.spark.sql.types.StringType,
+        s"$sig expects string literals, got argument of type ${e.dataType.sql}")
+      val v = e.eval()
+      require(v != null, s"$sig arguments must not be NULL")
+      v.toString
+    }
   }
 }

@@ -268,9 +268,14 @@ object ClipQueries {
         .orderBy("region")
     }))
 
-  val oracleSql: Map[String, String] = {
-    val clips = s"read_parquet('${clipsGlob()}')"
-    val updates = s"read_parquet('${updatesGlob()}')"
+  val oracleSql: Map[String, String] = oracleSqlFor(OracleSf)
+
+  /** Oracle SQL with fixture globs derived from the harness's scale factor
+    * (ADVICE r3: a harness run at sf != 0.01 must compare engine and oracle
+    * over the SAME table, not engine@sfX vs oracle@sf0.01). */
+  def oracleSqlFor(sf: String): Map[String, String] = {
+    val clips = s"read_parquet('${clipsGlob(sf)}')"
+    val updates = s"read_parquet('${updatesGlob(sf)}')"
     Map(
       // The planted ground truth for the audio near-dup detector: the
       // engine derives pairs from the BYTES (fingerprint/LSH/Jaccard);

@@ -14,11 +14,14 @@ import graft.functions.GraftFunctions._
   * the image column). */
 object ImageQueries {
 
-  /** Driver verifies at sf0.01 — oracle paths are pinned to that scale. */
+  /** Driver verifies at sf0.01 (default); Verify derives the actual scale
+    * from its sfDir so oracle and engine always read the same table. The
+    * glob comes from the same tablePath function the engine reads, so the
+    * two sides can never diverge on layout or generation version. */
   def imagesGlob(sf: String = "sf0.01"): String =
-    s"/root/repo/data/images/$sf/images/*.parquet"
+    s"${ImageGen.tablePath(sf)}/*.parquet"
   def videosGlob(sf: String = "sf0.01"): String =
-    s"/root/repo/data/videos/$sf/videos/*.parquet"
+    s"${VideoGen.tablePath(sf)}/*.parquet"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -58,19 +61,23 @@ object ImageQueries {
         .orderBy("video_id")
     }))
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = oracleSqlFor("sf0.01")
+
+  /** Oracle SQL with fixture globs derived from the harness's scale factor
+    * (ADVICE r3: never compare engine@sfX against oracle@sf0.01). */
+  def oracleSqlFor(sf: String): Map[String, String] = Map(
     "i1_image_quality" ->
       s"""SELECT image_id,
          |  CASE WHEN CAST(substr(image_id, 5, 8) AS INTEGER) % 20 = 7
          |    THEN 'dark' ELSE 'bright' END AS verdict
-         |FROM read_parquet('${imagesGlob()}')
+         |FROM read_parquet('${imagesGlob(sf)}')
          |WHERE CAST(substr(image_id, 5, 8) AS INTEGER) % 20 IN (7, 17)
          |ORDER BY 1""".stripMargin,
     "v1_video_quality" ->
       s"""SELECT video_id,
          |  CASE WHEN CAST(substr(video_id, 5, 8) AS INTEGER) % 20 = 3
          |    THEN 'static' ELSE 'high_motion' END AS verdict
-         |FROM read_parquet('${videosGlob()}')
+         |FROM read_parquet('${videosGlob(sf)}')
          |WHERE CAST(substr(video_id, 5, 8) AS INTEGER) % 20 IN (3, 13)
          |ORDER BY 1""".stripMargin)
 }

@@ -100,6 +100,29 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  /** The r4 audio near-dup shape: candidate generation is a groupBy bucket
+    * (collect_list per LSH bucket), not a self-join. Assert the bucket
+    * aggregation exists on the key and that NO shuffle exchange anywhere
+    * in the plan carries the forbidden payload columns. */
+  private def candidateBucketCarriesOnly(name: String, keyHint: String,
+                                         forbidden: Set[String]): Unit = {
+    val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+    val aggs = qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.exists(_.references.exists(_.name == keyHint)) => a
+    }
+    assert(aggs.nonEmpty,
+      s"$name: no candidate bucket aggregation on $keyHint found:\n${qe.optimizedPlan}")
+    val exchanges = qe.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name).toSet
+      val bad = cols.intersect(forbidden)
+      assert(bad.isEmpty, s"$name: $bad ride a shuffle: $cols")
+    }
+  }
+
   test("d2: no document text below the banded MinHash-LSH candidate join") {
     candidateJoinCarriesOnly("d2_neardup_minhash", "bhash",
       Set("text", "text_a", "text_b"))
@@ -115,18 +138,36 @@ class PlanQualitySpec extends AnyFunSuite {
       Set("qv", "cv", "embedding"))
   }
 
-  test("c14: no audio bytes below the fingerprint-key join") {
+  test("c14: no audio bytes below the fingerprint bucket aggregation") {
     // the decode+DSP fingerprint reduction must happen in the scan stage;
-    // only (id, sr, n, f1, f2) may ride the near-dup shuffle
-    candidateJoinCarriesOnly("c14_audio_neardup", "f1",
+    // only (id, sr, n, f1, f2) may ride the near-dup candidate shuffle
+    // (r4: candidates come from a groupBy bucket, not a self-join — one
+    // scan, no inferred-constraint kernel re-evaluation)
+    candidateBucketCarriesOnly("c14_audio_neardup", "f1",
       Set("bytes", "bytes_a", "bytes_b"))
   }
 
-  test("c15: no audio bytes below the shift-robust candidate join") {
+  test("c15: no audio bytes below the shift-robust candidate bucket") {
     // bytes may only ride the post-distinct id-keyed rehydration joins,
-    // never the (sr, f1, nb) candidate shuffle
-    candidateJoinCarriesOnly("c15_audio_neardup_shift", "nb",
+    // never the (sr, f1, nb, f2b) candidate shuffle
+    candidateBucketCarriesOnly("c15_audio_neardup_shift", "nb",
       Set("bytes", "bytes_a", "bytes_b", "pbytes"))
+  }
+
+  test("audio near-dup evaluates the tone-pair kernel exactly once per clip") {
+    // Regression gate for the r3->r4 kernel-cost fix: the self-join form
+    // ran pcm_tone_pair once per join SIDE, and its equi-keys made
+    // Catalyst infer IsNotNull constraints that re-evaluated the kernel
+    // a second time per row inside a Filter below each side (4x total).
+    // The groupBy-bucket form must show exactly ONE pcm_tone_pair in the
+    // whole physical plan of the raw operator.
+    val clips = graft.fixtures.ClipGen.readClips(spark, sf)
+    for (df <- Seq(graft.operators.Dedup.audioNearDup(clips),
+                   graft.operators.Dedup.audioNearDupShift(clips))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val n = "pcm_tone_pair".r.findAllIn(plan).size
+      assert(n == 1, s"expected 1 pcm_tone_pair evaluation site, found $n:\n$plan")
+    }
   }
 
   test("i1: image quality scoring never shuffles image bytes") {
