@@ -45,11 +45,15 @@ object Dedup {
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b))).as(Seq("band", "bhash")))
-    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // GroupBy-bucket pairing instead of a banded self-join: one min_hash
+    // scan of the corpus (the join form signed every document twice and
+    // re-evaluated the signature in inferred IsNotNull filters — see
+    // audioNearDupShift), and the per-bucket pair semantics are identical.
+    banded.groupBy(col("band"), col("bhash"))
+      .agg(collect_list(col("id")).as("xs"))
+      .select(col("bhash"), explode(col("xs")).as("id_a"), col("xs"))
+      .select(col("id_a"), explode(filter(col("xs"), y =>
+        col("bhash").isNotNull && col("id_a") < y)).as("id_b"))
       .distinct()
   }
 
@@ -91,14 +95,14 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk", "ckey")))
-    val a = chunked.select(col("chunk"), col("ckey"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("ckey"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+    // GroupBy-bucket pairing (single sim_hash scan — see minhashLsh).
+    chunked.groupBy(col("chunk"), col("ckey"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .select(col("ckey"), explode(col("xs")).as("x"), col("xs"))
+      .select(col("x"), explode(filter(col("xs"), y =>
+        col("ckey").isNotNull && col("x.id") < y("id"))).as("y"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -120,11 +124,12 @@ object Dedup {
     val banded = vecs.select(col("id"),
       posexplode(vec_lsh_buckets(col("v"), lit(nBits), lit(nTables)))
         .as(Seq("table", "bucket")))
-    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // GroupBy-bucket pairing (single vec_lsh_buckets scan — see minhashLsh).
+    banded.groupBy(col("table"), col("bucket"))
+      .agg(collect_list(col("id")).as("xs"))
+      .select(col("bucket"), explode(col("xs")).as("id_a"), col("xs"))
+      .select(col("id_a"), explode(filter(col("xs"), y =>
+        col("bucket").isNotNull && col("id_a") < y)).as("id_b"))
       .distinct()
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")

@@ -123,13 +123,13 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("d2: no document text below the banded MinHash-LSH candidate join") {
-    candidateJoinCarriesOnly("d2_neardup_minhash", "bhash",
+  test("d2: no document text below the banded MinHash-LSH candidate bucket") {
+    candidateBucketCarriesOnly("d2_neardup_minhash", "bhash",
       Set("text", "text_a", "text_b"))
   }
 
-  test("d4: no embedding vectors below the multi-table LSH candidate join") {
-    candidateJoinCarriesOnly("d4_embedding_neardup", "bucket",
+  test("d4: no embedding vectors below the multi-table LSH candidate bucket") {
+    candidateBucketCarriesOnly("d4_embedding_neardup", "bucket",
       Set("v", "v_a", "v_b", "embedding"))
   }
 
