@@ -131,10 +131,36 @@ object Ivf {
     val cCell = c.select(col("cand_id"), cellCol(col("cv"), cents).as("cell"))
     val qCell = q.select(col("query_id"),
       explode(probeCol(col("qv"), cents, nProbe)).as("cell"))
+    // No distinct needed: each candidate has exactly ONE cell and a query's
+    // probed cells are distinct, so a (query, cand) pair can only arise
+    // once — distinct() here was a wasted extra shuffle.
     val cands = cCell.join(broadcast(qCell), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select("query_id", "cand_id").distinct()
+      .select("query_id", "cand_id")
     Similarity.scoreTopK(cands, q, c, k)
+  }
+
+  /** Bulk-query IVF-Flat: identical index/probe/re-rank semantics to
+    * [[ivfKnn]], but nothing is broadcast — the probe-exploded query set
+    * rides a SHUFFLED cell join and vectors rehydrate through shuffled id
+    * joins. This is the path when the query set is itself corpus-sized
+    * (corpus-vs-corpus retrieval, bulk embedding joins): broadcasting
+    * nProbe× an unbounded query set would OOM every executor. Skew note:
+    * a hot cell (over-dense region) concentrates its pairs in one task —
+    * pre-salt the cell key (Salting discipline) or raise nList if a
+    * corpus is known to be lopsided; AQE skew-join handles moderate skew. */
+  def ivfKnnBulk(corpus: DataFrame, queries: DataFrame, k: Int,
+                 cents: Array[Array[Float]], nProbe: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cCell = c.select(col("cand_id"), cellCol(col("cv"), cents).as("cell"))
+    val qCell = q.select(col("query_id"),
+      explode(probeCol(col("qv"), cents, nProbe)).as("cell"))
+    val cands = cCell.join(qCell, Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id")
+    Similarity.scoreTopK(cands, q, c, k, broadcastQueries = false)
   }
 }
 

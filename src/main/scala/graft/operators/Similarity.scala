@@ -83,11 +83,11 @@ object Similarity {
     * tie-breaking / score scaling / self-match rules cannot drift between
     * index types. */
   private[operators] def scoreTopK(cands: DataFrame, q: DataFrame, c: DataFrame,
-                                   k: Int): DataFrame = {
+                                   k: Int, broadcastQueries: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
     cands
-      .join(broadcast(q), "query_id")
+      .join(if (broadcastQueries) broadcast(q) else q, "query_id")
       .join(c, "cand_id")
       .withColumn("score", qcosine_sim(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

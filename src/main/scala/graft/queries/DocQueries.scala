@@ -190,6 +190,24 @@ object DocQueries {
       graft.operators.Ivf.ivfKnn(e, e.filter(col("vec_id") < 8), k = 5,
         cents, nProbe = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // BULK IVF-Flat: the shuffled-join variant for query sets too large to
+    // broadcast (corpus-vs-corpus retrieval). The plan broadcasts
+    // NOTHING — probe-exploded queries ride a shuffled cell join and
+    // vectors rehydrate via shuffled id joins (hint-gated in
+    // PlanQualitySpec). Oracled hash-exact on s3's recall-1.0 probe set;
+    // bulk == broadcast on a 6x query set is separately proven by
+    // PipelineOpsSpec's parity test (copy-vector queries have organic
+    // vectors in their true top-5, which NO partial-probe IVF recovers
+    // with certainty — so the hash-exact oracle keeps the probe set where
+    // recall 1.0 is a fixture property, same discipline as s2/s3).
+    "s4_knn_ivf_bulk" -> ((s, dir) => {
+      val e = augEmb(s, dir)
+      val cents = graft.operators.Ivf.fit(e, "embedding", nList = 32)
+      graft.operators.Ivf.ivfKnnBulk(e, e.filter(col("vec_id") < 8), k = 5,
+        cents, nProbe = 10)
+        .orderBy("query_id", "rank")
     }))
 
   /** embeddings + 5 planted near-neighbors per probe vector (vec_id < 8):
@@ -398,7 +416,8 @@ object DocQueries {
     // bit-for-bit (recall 1.0 under deterministic hashing/quantization:
     // the honest way to hash-verify an ANN path).
     "s3_knn_ivf" -> augKnnOracleSql,
-    "s2_knn_lsh" -> augKnnOracleSql)
+    "s2_knn_lsh" -> augKnnOracleSql,
+    "s4_knn_ivf_bulk" -> augKnnOracleSql)
 
   private lazy val augKnnOracleSql: String =
     s"""WITH aug AS (

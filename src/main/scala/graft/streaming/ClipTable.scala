@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * commit markers under `<root>/_commits/`). Readers list only live files.
   */
 final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int = 16,
-    mergeOnRead: Boolean = false, gcGraceMs: Long = 300000L) {
+    mergeOnRead: Boolean = false, gcGraceMs: Long = 300000L,
+    leaseTimeoutMs: Long = 600000L) {
 
   private def dataDir: Path = Paths.get(root, "data")
   private def commitsDir: Path = Paths.get(root, "_commits")
@@ -182,10 +183,62 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
         (rel, Paths.get(root).resolve(rel), Files.readString(f).trim.toLong)
       }.toOption
     }
+  // ------------------------------------------------------- reader leases
+  //
+  // The grace window alone is TIME-based: a reader slower than gcGraceMs
+  // could still lose resolved files. Leases make GC deterministic for
+  // arbitrarily slow readers: `readLeased()` registers a lease file BEFORE
+  // resolving the file list, and the sweep refuses to delete a superseded
+  // directory while any lease acquired at-or-before its schedule time is
+  // still held. Leases acquired AFTER the schedule never block it — read()
+  // excludes GC-scheduled dirs, so those readers never resolved it. A
+  // crashed reader's lease expires after `leaseTimeoutMs` (falling back to
+  // time-based semantics) so a dead process cannot block GC forever.
+  private def leasesDir: Path = Paths.get(root, "_leases")
+
+  /** Handle for a leased read — `release()` when the consuming action is
+    * done (idempotent). Works cross-process: the lease is a file. */
+  final class ReadLease private[ClipTable] (private[ClipTable] val file: Path) {
+    def release(): Unit = Files.deleteIfExists(file)
+  }
+
+  /** Register a lease dated now; subsequent GC schedules will not
+    * physically delete directories this reader may have resolved until
+    * release() or lease expiry. */
+  def acquireLease(): ReadLease = synchronized {
+    Files.createDirectories(leasesDir)
+    val f = leasesDir.resolve(s"lease-${java.util.UUID.randomUUID()}")
+    Files.writeString(f, System.currentTimeMillis().toString)
+    new ReadLease(f)
+  }
+
+  /** read() under a lease: the returned DataFrame's resolved files are
+    * protected from compaction GC until the lease is released (or times
+    * out). The caller must release() after its terminal action. */
+  def readLeased(spark: SparkSession): (DataFrame, ReadLease) = {
+    val lease = acquireLease()
+    (read(spark), lease)
+  }
+
+  /** Acquire-times of live leases; expired ones are dropped (best-effort
+    * file cleanup) so a crashed reader can't pin GC. */
+  private def activeLeaseTimes: Seq[Long] = {
+    val now = System.currentTimeMillis()
+    listDir(leasesDir).flatMap { f =>
+      scala.util.Try(Files.readString(f).trim.toLong).toOption match {
+        case Some(ts) if now - ts <= leaseTimeoutMs => Some(ts)
+        case Some(_) => Files.deleteIfExists(f); None
+        case None => None // unreadable/foreign file: ignore, never blocks
+      }
+    }
+  }
+
   private def gcSweep(): Unit = {
     val now = System.currentTimeMillis()
+    val leases = activeLeaseTimes
     gcEntries.foreach { case (rel, p, ts) =>
-      if (now - ts >= gcGraceMs) {
+      val leased = leases.exists(_ <= ts)
+      if (now - ts >= gcGraceMs && !leased) {
         deleteRecursively(p)
         Files.deleteIfExists(gcDir.resolve(gcKey(rel)))
       }
@@ -193,6 +246,9 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     val dp = Paths.get(root, "delta")
     if (Files.exists(dp) && listDir(dp).isEmpty) Files.delete(dp)
   }
+
+  /** Run a GC sweep now (maintenance hook / deterministic tests). */
+  def gcNow(): Unit = synchronized { gcSweep() }
 
   /** Fold the current table (latest base + unfolded deltas) into a new
     * base version — the maintenance operation an Iceberg

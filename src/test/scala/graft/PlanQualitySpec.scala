@@ -123,6 +123,20 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("s4: bulk IVF plan hints no broadcasts anywhere") {
+    // The bulk variant exists precisely because the query set may be
+    // corpus-sized: no join in its logical plan may carry a broadcast
+    // hint (AQE may still small-table-broadcast at fixture scale — that
+    // is a runtime size decision, not a plan commitment, so the gate
+    // checks the hints the operator author controls).
+    val qe = SparkEntry.queries("s4_knn_ivf_bulk")(spark, sf).queryExecution
+    val hinted = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(hinted.isEmpty, s"bulk IVF carries broadcast hints:\n${qe.optimizedPlan}")
+  }
+
   test("d2: no document text below the banded MinHash-LSH candidate bucket") {
     candidateBucketCarriesOnly("d2_neardup_minhash", "bhash",
       Set("text", "text_a", "text_b"))

@@ -228,6 +228,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cells.length > 6, "quantizer collapsed - probing would be a full scan")
   }
 
+  test("bulk IVF kNN (shuffled joins) matches the broadcast variant exactly") {
+    // ivfKnnBulk must be a pure plan-shape change: same index, same probe
+    // and re-rank semantics, bit-identical output — here on a query set
+    // 6x the broadcast test's (every planted-family vector).
+    val queries = embAug.filter($"vec_id" < 8 || $"vec_id" >= 10000)
+    val cents = Ivf.fit(embAug, "embedding", nList = 32)
+    val bulk = Ivf.ivfKnnBulk(embAug, queries, k = 5, cents, nProbe = 10)
+      .select("query_id", "rank", "cand_id", "score_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val bcast = Ivf.ivfKnn(embAug, queries, k = 5, cents, nProbe = 10)
+      .select("query_id", "rank", "cand_id", "score_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(bulk == bcast)
+    assert(bulk.map(_._1).size == 48, "expected all 48 family queries answered")
+  }
+
   test("Tuning: helper-chosen parameters meet their target recall on the planted fixture") {
     // analytic S-curves: monotone in the amplification parameter and
     // consistent with the stated formula at the endpoints

@@ -111,6 +111,42 @@ class ExactlyOnceSpec extends AnyFunSuite {
     assert(nBases == 1, s"expected 1 base version, found $nBases")
   }
 
+  test("reader leases deterministically block GC; expired leases do not") {
+    // The grace window alone is TIME-based — a reader slower than
+    // gcGraceMs could still lose resolved files. A lease must block the
+    // sweep for as long as it is held (even with grace 0), and stop
+    // blocking the moment it is released; a lease past leaseTimeoutMs
+    // (crashed reader) must not block at all.
+    val dir = Files.createTempDirectory("tbl-lease").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true,
+      gcGraceMs = 0L)
+    (0 until 3).foreach(i =>
+      t.merge(Seq((s"k$i", i), ("shared", i)).toDF("k", "v"), i))
+    val (leasedDf, lease) = t.readLeased(spark)
+    val plan = leasedDf.select("k", "v") // file list resolved pre-compaction
+    t.compact(spark) // grace 0: would delete eagerly if not for the lease
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "delta")),
+      "leased reader's resolved delta files were deleted")
+    val truth = Map("k0" -> 0, "k1" -> 1, "k2" -> 2, "shared" -> 2)
+    assert(plan.as[(String, Int)].collect().toMap == truth)
+    lease.release()
+    t.gcNow()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "delta")),
+      "released lease still blocks the sweep")
+
+    // a crashed reader's expired lease must not pin GC forever
+    val t0 = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true,
+      gcGraceMs = 0L, leaseTimeoutMs = 0L)
+    t0.merge(Seq(("k9", 9)).toDF("k", "v"), 3)
+    val (_, staleLease) = t0.readLeased(spark) // expires immediately
+    t0.compact(spark)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "delta")),
+      "expired lease blocked the sweep")
+    staleLease.release() // idempotent on the already-swept lease file
+    assert(t0.read(spark).select("k", "v")
+      .as[(String, Int)].collect().toMap == truth + ("k9" -> 9))
+  }
+
   test("a table from an incompatible format version is refused, not corrupted") {
     // v1 (round 1) bucketed on space-joined keys and has no _format marker;
     // merging into it with the v2 layout would silently lose re-bucketed
