@@ -59,4 +59,39 @@ object Sampling {
       .filter(col("_cap_rn") <= n)
       .drop("_cap_rn")
   }
+
+  /** Skew-safe frequency capping: identical output to [[capPerGroup]],
+    * built for corpora where one group holds a huge share of the rows (a
+    * single window partition would serialize it onto one task). Two-phase
+    * Salting discipline:
+    *
+    *   1. cap within (group, salt) where salt = hash(id) mod `salts` —
+    *      spreads a hot group over `salts` parallel window partitions.
+    *      Any row in the group's TRUE top-n is also top-n within its own
+    *      salt subset (a subset can only rank it higher), so phase 1
+    *      keeps a superset of the answer, at most salts*n rows per group.
+    *   2. re-cap the survivors per group — a window over <= salts*n rows
+    *      per group, bounded regardless of corpus skew.
+    *
+    * The salt is the same deterministic id hash as the priority ordering's
+    * family (portable_bucket), so the kept set stays engine-reproducible
+    * and is oracle-checked equal to the single-window form (t7). */
+  def capPerGroupSalted(df: DataFrame, groupCol: String, idCol: String,
+                        n: Int, salts: Int = 32): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val prio = md5(col(idCol).cast("string").cast("binary"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol),
+        portable_bucket(col(idCol).cast("string"), lit(salts)))
+      .orderBy(prio, col(idCol))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(prio, col(idCol))
+    df.withColumn("_cap_rn1", row_number().over(w1))
+      .filter(col("_cap_rn1") <= n)
+      .withColumn("_cap_rn2", row_number().over(w2))
+      .filter(col("_cap_rn2") <= n)
+      .drop("_cap_rn1", "_cap_rn2")
+  }
 }

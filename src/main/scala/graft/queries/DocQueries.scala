@@ -74,6 +74,16 @@ object DocQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Skew-safe two-phase capping: MUST produce t6's exact kept set (the
+    // oracle SQL is the same single window) while a hot group spreads
+    // over `salts` parallel window partitions — the plan you'd run when
+    // one language/domain dominates a 100 TB corpus.
+    "t7_cap_salted" -> ((s, dir) => {
+      graft.operators.Sampling.capPerGroupSalted(
+        docs(s, dir).select("doc_id", "lang"), "lang", "doc_id", 20, salts = 8)
+        .orderBy("lang", "doc_id")
+    }),
+
     // Language-ID heuristic + simhash + winnowing fingerprint. All three
     // are fully oracled: the token/shingle hash is the oracle-portable md5
     // lower half (== DuckDB md5_number_lower), signatures/fingerprints are
@@ -363,6 +373,14 @@ object DocQueries {
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t6_cap" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+    // identical kept set to t6, stated with the same single-window SQL —
+    // the salted plan is an execution-shape change only
+    "t7_cap_salted" ->
       """SELECT doc_id, lang FROM documents
         |QUALIFY row_number() OVER (
         |  PARTITION BY lang

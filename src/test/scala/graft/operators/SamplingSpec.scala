@@ -46,4 +46,25 @@ class SamplingSpec extends AnyFunSuite {
     val tiny = Sampling.capPerGroup(corpus(3), "grp", "id", 7)
     assert(tiny.count() == 3)
   }
+
+  test("capPerGroupSalted: identical kept set to capPerGroup, incl. one-group skew") {
+    // balanced corpus, several salt counts (1 = degenerate single phase)
+    val plain = Sampling.capPerGroup(corpus(1000), "grp", "id", 7)
+      .select("id", "grp").as[(Long, String)].collect().sorted.toSeq
+    for (salts <- Seq(1, 4, 32)) {
+      val salted = Sampling.capPerGroupSalted(corpus(1000), "grp", "id", 7, salts)
+        .select("id", "grp").as[(Long, String)].collect().sorted.toSeq
+      assert(salted == plain, s"salts=$salts diverged")
+    }
+    // the pathological case the salted form exists for: ONE giant group
+    val hot = (0 until 5000).map(i => (i.toLong, "only")).toDF("id", "grp")
+    val hotPlain = Sampling.capPerGroup(hot, "grp", "id", 20)
+      .select("id").as[Long].collect().sorted.toSeq
+    val hotSalted = Sampling.capPerGroupSalted(hot, "grp", "id", 20, salts = 16)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(hotSalted == hotPlain)
+    assert(hotSalted.length == 20)
+    // groups smaller than the cap survive both phases whole
+    assert(Sampling.capPerGroupSalted(corpus(3), "grp", "id", 7, 16).count() == 3)
+  }
 }
