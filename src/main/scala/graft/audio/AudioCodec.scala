@@ -258,6 +258,59 @@ object AudioCodec {
   def transcode(bytes: Array[Byte], codec: String, target: String): Array[Byte] =
     encode(decode(bytes, codec), target)
 
+  /** Exact output length of [[resample]] — pure integer math so the
+    * contract is statable in oracle SQL: floor(n * dstHz / srcHz). */
+  def resampledCount(n: Int, srcHz: Int, dstHz: Int): Int =
+    ((n.toLong * dstHz) / srcHz).toInt
+
+  /** Sample-rate conversion by windowed-sinc interpolation (the training-
+    * pipeline normalization step: mixed-rate corpora -> one model rate).
+    * Output is pcm16 at `dstHz` with exactly [[resampledCount]] samples.
+    *
+    * Per output sample m the input is evaluated at t = m*src/dst through
+    * an 8-lobe Hann-windowed sinc; when downsampling the sinc cutoff is
+    * scaled to the OUTPUT Nyquist (fc = dst/src), which is the anti-alias
+    * lowpass — a plain linear interpolator would fold everything above
+    * the target Nyquist back into band. Pure deterministic double math,
+    * identical on any executor. Cost O(n · taps/fc) per clip, computed in
+    * the scan stage like every other codec kernel. */
+  def resample(bytes: Array[Byte], codec: String, srcHz: Int, dstHz: Int): Array[Byte] = {
+    require(srcHz > 0 && dstHz > 0, s"sample rates must be positive: $srcHz -> $dstHz")
+    val in = decode(bytes, codec)
+    if (srcHz == dstHz) return encode(in, Pcm16)
+    val nOut = resampledCount(in.length, srcHz, dstHz)
+    val out = new Array[Float](nOut)
+    val fc = math.min(1.0, dstHz.toDouble / srcHz) // cutoff vs input Nyquist
+    val lobes = 8
+    val half = lobes / fc // taps reach further when downsampling
+    var m = 0
+    while (m < nOut) {
+      val t = m.toDouble * srcHz / dstHz
+      var k = math.max(0, math.ceil(t - half).toInt)
+      val kEnd = math.min(in.length - 1, math.floor(t + half).toInt)
+      var acc = 0.0
+      var wsum = 0.0
+      while (k <= kEnd) {
+        val x = t - k
+        val sinc = if (x == 0.0) 1.0 else {
+          val px = math.Pi * fc * x
+          math.sin(px) / px
+        }
+        // Hann window over the truncated sinc support
+        val w = 0.5 * (1.0 + math.cos(math.Pi * x / half))
+        val c = fc * sinc * w
+        acc += in(k) * c
+        wsum += c
+        k += 1
+      }
+      // normalize by the kernel's DC gain so plateaus stay level at any
+      // fractional phase (classic polyphase normalization)
+      out(m) = if (wsum != 0.0) (acc / wsum).toFloat else 0f
+      m += 1
+    }
+    encode(out, Pcm16)
+  }
+
   /** Goertzel power of `pcm(from until from+len)` at frequency `f` Hz. */
   def goertzelPower(pcm: Array[Float], srHz: Int, f: Double,
                     from: Int, len: Int): Double = {

@@ -149,6 +149,36 @@ case class PcmTranscode(first: Expression, second: Expression, third: Expression
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** `pcm_resample(bytes, codec, src_hz, dst_hz) -> binary` — windowed-sinc
+  * sample-rate conversion to pcm16@dst (see AudioCodec.resample): the
+  * mixed-rate-corpus normalization step, fused decode+filter+encode in the
+  * scan stage. Output length contract floor(n*dst/src) is integer-exact
+  * (oracle-statable); signal fidelity is spec-gated at SNR >= 30 dB. */
+case class PcmResample(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == IntegerType && fourth.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_resample expects (binary, string, int, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType}, ${fourth.dataType})")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm_resample"
+  override def nullSafeEval(bytes: Any, codec: Any, src: Any, dst: Any): Any =
+    AudioCodec.resample(bytes.asInstanceOf[Array[Byte]],
+      codec.asInstanceOf[UTF8String].toString,
+      src.asInstanceOf[Int], dst.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, s, d) =>
+      s"${ev.value} = graft.audio.AudioCodec.resample($b, $c.toString(), $s, $d);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+}
+
 /** `pcm_tone_pair(bytes, codec, sr_hz) -> array<int>` — the two strongest
   * tones in integer Hz (see AudioCodec.tonePair): the parametric acoustic
   * fingerprint behind audio near-dup detection. */
@@ -279,6 +309,9 @@ object GraftFunctions {
   def pcm_transcode(bytes: Column, codec: Column, target: Column): Column =
     toColumn(PcmTranscode(toExpr(bytes), toExpr(codec), toExpr(target)))
 
+  def pcm_resample(bytes: Column, codec: Column, srcHz: Column, dstHz: Column): Column =
+    toColumn(PcmResample(toExpr(bytes), toExpr(codec), toExpr(srcHz), toExpr(dstHz)))
+
   def pcm_tone_pair(bytes: Column, codec: Column, srHz: Column): Column =
     toColumn(PcmTonePair(toExpr(bytes), toExpr(codec), toExpr(srHz)))
 
@@ -331,6 +364,8 @@ object GraftFunctions {
       es => PcmBandEnergies(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_transcode",
       es => PcmTranscode(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_resample",
+      es => PcmResample(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_tone_pair",
       es => PcmTonePair(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_gain",

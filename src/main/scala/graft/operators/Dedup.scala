@@ -76,9 +76,19 @@ object Dedup {
                      threshold: Double = 0.7, k: Int = 32, bands: Int = 16): DataFrame = {
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .dropDuplicates("id")
-    minhashLsh(df, textCol, idCol, k, bands)
-      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+    // materialized stage boundary + broadcast semi-join reduction: only
+    // candidate rows' text ever reaches a join — a direct join would
+    // shuffle+sort the whole text corpus for a dup-rate-sized pair set,
+    // and the three references below would re-run the signature scan
+    // without the persist (see audioNearDupShift)
+    val pairs = minhashLsh(df, textCol, idCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def reduced(side: String) = texts
+      .join(broadcast(pairs.select(col(side).as("id")).distinct()),
+        Seq("id"), "leftsemi")
+    pairs
+      .join(reduced("id_a").select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(reduced("id_b").select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", jaccard_sim(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
@@ -125,14 +135,22 @@ object Dedup {
       posexplode(vec_lsh_buckets(col("v"), lit(nBits), lit(nTables)))
         .as(Seq("table", "bucket")))
     // GroupBy-bucket pairing (single vec_lsh_buckets scan — see minhashLsh).
-    banded.groupBy(col("table"), col("bucket"))
+    val pairs = banded.groupBy(col("table"), col("bucket"))
       .agg(collect_list(col("id")).as("xs"))
       .select(col("bucket"), explode(col("xs")).as("id_a"), col("xs"))
       .select(col("id_a"), explode(filter(col("xs"), y =>
         col("bucket").isNotNull && col("id_a") < y)).as("id_b"))
       .distinct()
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // broadcast semi-join reduction (see audioNearDupShift): only
+    // candidate rows' vectors reach a join; the persist above is the
+    // stage boundary the three references share
+    def reduced(side: String) = vecs
+      .join(broadcast(pairs.select(col(side).as("id")).distinct()),
+        Seq("id"), "leftsemi")
+    pairs
+      .join(reduced("id_a").select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(reduced("id_b").select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos", qcosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), floor(col("cos") * 1e6).as("cos_x1e6"))
@@ -219,6 +237,13 @@ object Dedup {
     // the lambda predicate null (dropped, matching the join's null-key
     // semantics); null sr/f1 are guarded explicitly on the cheap
     // materialized group-key columns.
+    // The candidate pair set is MATERIALIZED (persist) because the verify
+    // stage references it three times (the pair probe + two broadcast id
+    // sets): without a stage boundary each reference would re-run the
+    // whole fingerprint pipeline including the DSP scan. This is the
+    // natural two-phase shape of a petabyte near-dup job — candidates are
+    // a stage output (a scratch table in a production pipeline); the set
+    // is dup-rate-sized, so caching it is cheap at any corpus size.
     val cands = fp
       .groupBy(col("sr"), col("f1"), col("nb"), col("f2b"))
       .agg(collect_list(struct(col("id"), col("n"), col("f2"))).as("xs"))
@@ -230,12 +255,26 @@ object Dedup {
           abs(col("x.f2") - y("f2")) <= tolHz)).as("y"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Rehydration via broadcast SEMI-JOIN REDUCTION, not a direct join of
+    // the candidate set against the corpus: a plain join plans as a
+    // sort-merge that hash-shuffles AND sorts the ENTIRE byte column to
+    // serve a tiny candidate set (measured: filled the sandbox disk with
+    // spill at sf1 — at 100 TB it is a corpus-sized shuffle per side).
+    // Broadcasting the candidate ID set (ids only, tiny) filters the
+    // payload in its scan stage; only the ~|cands| surviving rows' bytes
+    // ever reach a join. For candidate sets too large to broadcast, the
+    // right primitive is a storage-bucketed (SPJ) join on the id — noted
+    // in BASELINE.md; candidate sets here are dup-rate-sized by design.
     val payload = clips.select(col(idCol).as("id"),
       col(bytesCol).as("pbytes"), col(codecCol).as("pcodec"))
+    def reduced(side: String) = payload
+      .join(broadcast(cands.select(col(side).as("id")).distinct()),
+        Seq("id"), "leftsemi")
     cands
-      .join(payload.select(col("id").as("id_a"),
+      .join(reduced("id_a").select(col("id").as("id_a"),
         col("pbytes").as("bytes_a"), col("pcodec").as("codec_a")), "id_a")
-      .join(payload.select(col("id").as("id_b"),
+      .join(reduced("id_b").select(col("id").as("id_b"),
         col("pbytes").as("bytes_b"), col("pcodec").as("codec_b")), "id_b")
       .filter(pcm_aligned_corr(col("bytes_a"), col("codec_a"),
         col("bytes_b"), col("codec_b")) >= minCorr)

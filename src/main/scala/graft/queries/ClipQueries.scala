@@ -250,6 +250,23 @@ object ClipQueries {
         .orderBy("clip_id")
     }),
 
+    // Sample-rate normalization (mixed-rate corpus -> one model rate):
+    // every non-16 kHz clip is windowed-sinc resampled to pcm16@16k in
+    // the scan stage. The oracle states the exact output-length contract
+    // floor(n * 16000 / sr) from the table's own columns (sample count is
+    // pure byte math per codec) — the signal-fidelity half of the
+    // contract (SNR >= 30 dB vs an analytic reference tone, both up- and
+    // down-sampling) is AudioCodecSpec territory, not SQL-expressible.
+    "c17_resample_norm" -> ((s, dir) => {
+      ClipGen.readClips(s, dir)
+        .filter(col("sr_hz") =!= 16000)
+        .select(col("clip_id"),
+          pcm_sample_count(
+            pcm_resample(col("bytes"), col("codec"), col("sr_hz"), lit(16000)),
+            lit("pcm16")).as("n_16k"))
+        .orderBy("clip_id")
+    }),
+
     // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
     // country -> region, depth fixed at plan time; leaf level aggregates.
     "c9_multihop" -> ((s, dir) => {
@@ -302,6 +319,16 @@ object ClipQueries {
            |SELECT clip_id || '-q8' AS clip_id, 'clipped' AS verdict
            |FROM $clips
            |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 15
+           |ORDER BY 1""".stripMargin,
+      // the resample LENGTH contract, stated from the table's own columns:
+      // n = byte math per codec, n_16k = floor(n * 16000 / sr_hz)
+      "c17_resample_norm" ->
+        s"""SELECT clip_id,
+           |  CAST((CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes) // 2
+           |                  ELSE octet_length(bytes) END AS BIGINT) * 16000)
+           |       // sr_hz AS INTEGER) AS n_16k
+           |FROM $clips
+           |WHERE sr_hz <> 16000
            |ORDER BY 1""".stripMargin,
       "c13_custom_sessions" ->
         s"""WITH ev AS (

@@ -40,6 +40,48 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioSynth.synth(7L, 8000, 1234).toSeq == sig.toSeq)
   }
 
+  test("resample: exact length contract; tone fidelity >= 30 dB; anti-aliased") {
+    // length contract: floor(n * dst / src), every codec, up and down
+    for ((src, dst) <- Seq((8000, 16000), (44100, 16000), (16000, 16000),
+                           (16000, 8000));
+         codec <- AudioCodec.Codecs) {
+      val sig = AudioSynth.synth(AudioSynth.mix64(5L), src, 4321)
+      val out = AudioCodec.resample(AudioCodec.encode(sig, codec), codec, src, dst)
+      assert(AudioCodec.sampleCount(out.length, "pcm16") ==
+        AudioCodec.resampledCount(4321, src, dst), s"$codec $src->$dst")
+    }
+    // fidelity: a pure tone resampled must match the analytically
+    // synthesized tone at the target rate (north-rule allclose bar),
+    // interior samples (the windowed-sinc support tapers at the edges)
+    for ((src, dst) <- Seq((8000, 16000), (44100, 16000), (16000, 8000))) {
+      val f = 440.0
+      val tone = Array.tabulate(src)(i =>
+        (0.5 * math.sin(2 * math.Pi * f * i / src)).toFloat)
+      val out = AudioCodec.decode(
+        AudioCodec.resample(AudioCodec.encode(tone, "pcm16"), "pcm16", src, dst),
+        "pcm16")
+      val ref = Array.tabulate(out.length)(m =>
+        (0.5 * math.sin(2 * math.Pi * f * m / dst)).toFloat)
+      val skip = math.ceil(8.0 / math.min(1.0, dst.toDouble / src)).toInt + 2
+      val snr = AudioCodec.snrDb(ref.slice(skip, ref.length - skip),
+        out.slice(skip, out.length - skip))
+      assert(snr >= 30.0, s"$src->$dst snr=$snr")
+    }
+    // anti-alias: content above the target Nyquist must be REMOVED, not
+    // folded back into band (the failure mode of naive interpolation)
+    val hi = Array.tabulate(44100)(i =>
+      (0.5 * math.sin(2 * math.Pi * 15000.0 * i / 44100)).toFloat)
+    val down = AudioCodec.decode(
+      AudioCodec.resample(AudioCodec.encode(hi, "pcm16"), "pcm16", 44100, 8000),
+      "pcm16")
+    val interior = down.slice(60, down.length - 60)
+    val rms = math.sqrt(interior.map(x => x.toDouble * x).sum / interior.length)
+    assert(rms < 0.02, s"aliased energy survived downsampling: rms=$rms")
+    // validation
+    intercept[IllegalArgumentException](
+      AudioCodec.resample(Array[Byte](0, 0), "pcm16", 0, 16000))
+  }
+
   test("quality metrics separate organic, silent, and clipped clips") {
     for (codec <- AudioCodec.Codecs; seed <- 0L until 10L) {
       val sig = AudioSynth.synth(AudioSynth.mix64(seed), 8000, 8000)
