@@ -65,7 +65,14 @@ class CrashKillSpec extends AnyFunSuite {
     }
 
     var kills = 0
-    for (attempt <- 1 to 3) {
+    // Per-attempt post-commit delay before the SIGKILL: commit-boundary
+    // polling alone always kills just after a commit file appears; the
+    // staggered offsets land kills DEEP inside the next batch's work —
+    // delta write, RocksDB state commit, compaction fold, GC sweep —
+    // composing more crash-window permutations (ROADMAP r3). Fixed
+    // offsets keep the soak deterministic run-to-run.
+    val killDelaysMs = Seq(0L, 140L, 450L, 900L, 1700L)
+    for (attempt <- 1 to killDelaysMs.length) {
       val p = launch(s"kill$attempt")
       // SIGKILL once the child has committed `attempt` batches beyond
       // where the last attempt died — each kill lands at a fresh depth,
@@ -75,6 +82,7 @@ class CrashKillSpec extends AnyFunSuite {
       while (p.isAlive && commits() < target &&
              System.currentTimeMillis() - t0 < 180000) Thread.sleep(50)
       if (p.isAlive) {
+        Thread.sleep(killDelaysMs(attempt - 1))
         p.destroyForcibly()
         p.waitFor(60, TimeUnit.SECONDS)
         kills += 1
