@@ -95,6 +95,23 @@ object ClipStreamJob {
       .dropDuplicatesWithinWatermark("sr_hz", "n_samples", "f1", "f2b")
       .drop("fp", "n_samples", "f1", "f2b")
 
+  /** NORMALIZE-ON-INGEST: every clip leaves this stage as pcm16 at
+    * `targetHz` (mixed-rate corpus -> one model rate, the c17 operation
+    * as a stream stage). The polyphase windowed-sinc kernel
+    * (`pcm_resample`) runs in the scan stage like every codec expression
+    * — a narrow map, no state, no shuffle; already-normalized clips
+    * short-circuit inside the kernel (sr == target re-encodes only).
+    * dur_ms is unchanged (resampling preserves duration); sr_hz and
+    * codec are rewritten to the post-condition so every downstream
+    * consumer (windows keyed on (codec, sr_hz), dedup fingerprints, the
+    * sink key) sees the normalized view. */
+  def normalizeRate(clips: DataFrame, targetHz: Int = 16000): DataFrame =
+    clips
+      .withColumn("bytes", graft.functions.GraftFunctions.pcm_resample(
+        col("bytes"), col("codec"), col("sr_hz"), lit(targetHz)))
+      .withColumn("sr_hz", lit(targetHz))
+      .withColumn("codec", lit("pcm16"))
+
   /** Stateful stream-stream LEFT OUTER join of the clip stream with the
     * late transcript-update stream (J1 re-expression): equi-join on
     * clip_id, time-bounded so state can be evicted by the watermark.

@@ -51,6 +51,50 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got == batchExpected)
   }
 
+  test("normalize-on-ingest: stream == batch, one (codec, sr_hz) group, tones kept") {
+    // The resample stage must be a pure narrow map: windows over the
+    // NORMALIZED stream equal the batch plan over the same normalized
+    // input bit-for-bit, and the whole corpus collapses to one
+    // (pcm16, 16000) group key.
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      ClipStreamJob.normalizeRate(df, 16000)
+    val batchExpected = Windows.tumblingCounts(norm(spark.read.parquet(inputDir)))
+      .orderBy("w_start_ms", "codec", "sr_hz")
+      .collect().map(_.toSeq).toSeq
+    assert(batchExpected.forall(r => r(1) == "pcm16" && r(2) == 16000))
+
+    val tableDir = Files.createTempDirectory("sink-norm").toString
+    val ckpt = Files.createTempDirectory("ckpt-norm").toString
+    val table = ClipTable(tableDir, Seq("w_start_ms", "codec", "sr_hz"), numBuckets = 4)
+    val clips = ClipStreamJob.readClipStream(spark, inputDir, maxFilesPerTrigger = 2)
+    val q = ClipStreamJob.runToTable(
+      ClipStreamJob.tumblingCounts(norm(clips), "30 seconds"),
+      table, ckpt, Trigger.AvailableNow(), outputMode = "update")
+    q.awaitTermination(120000)
+    val got = table.read(spark)
+      .select("w_start_ms", "codec", "sr_hz", "n_clips", "sum_dur_ms")
+      .orderBy("w_start_ms", "codec", "sr_hz")
+      .collect().map(_.toSeq).toSeq
+    assert(got == batchExpected)
+
+    // and the normalization preserved the audio: the dominant tone of a
+    // resampled clip equals the original's (fingerprint invariance under
+    // rate conversion, the property audio dedup relies on downstream)
+    val sample = spark.read.parquet(inputDir).limit(8)
+    val orig = sample.select(col("clip_id"),
+      element_at(graft.functions.GraftFunctions.pcm_tone_pair(
+        col("bytes"), col("codec"), col("sr_hz")), 1).as("f1"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val resampled = ClipStreamJob.normalizeRate(sample, 16000)
+      .select(col("clip_id"),
+        element_at(graft.functions.GraftFunctions.pcm_tone_pair(
+          col("bytes"), col("codec"), col("sr_hz")), 1).as("f1"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    orig.foreach { case (id, f1) =>
+      assert(math.abs(resampled(id) - f1) <= 1, s"$id: $f1 -> ${resampled(id)}")
+    }
+  }
+
   test("windowed extraction golden rows: stream == batch, values ordered by clip_id") {
     val spec = graft.queries.ClipQueries.cardsSpec
     val extract = (df: org.apache.spark.sql.DataFrame) =>
