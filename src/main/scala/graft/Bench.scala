@@ -194,13 +194,11 @@ object Bench {
     // cores in the decode scan stage (input-split parallelism).
     val streamShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt
 
-    // --- phase 0: ensure ALL fixture tables exist (generation excluded
+    // --- phase 0: ensure the fixture tables exist (generation excluded
     // from timing — ADVICE r3: on a cold data dir the first timed i1/v1
     // run used to include ImageGen/VideoGen generation + parquet write).
     val sparkGen = session(cpusHead, cpusHead)
     val (clipsPath, updatesPath) = ClipGen.ensure(sparkGen, sfDir)
-    val imagesPath = graft.fixtures.ImageGen.ensure(sparkGen, sfDir)
-    val videosPath = graft.fixtures.VideoGen.ensure(sparkGen, sfDir)
     val nClips = ClipGen.clipCountFor(sfDir)
 
     // --- phase 1: per-query batch timings at headline parallelism.
@@ -219,12 +217,20 @@ object Bench {
       queryFilter == "all" ||
         queryFilter.split(",").map(_.trim).filter(_.nonEmpty).exists(n.startsWith)
     }
+    // image/video fixtures only exist (and only warm) when an i/v query is
+    // actually selected — a c-only sf1 run must not pay ~800 MB of fixture
+    // generation it never reads
+    val needsImages = selectedQueries.exists { case (n, _) =>
+      n.startsWith("i") || n.startsWith("v") }
+    val imagesPath =
+      if (needsImages) graft.fixtures.ImageGen.ensure(sparkGen, sfDir) else ""
+    val videosPath =
+      if (needsImages) graft.fixtures.VideoGen.ensure(sparkGen, sfDir) else ""
     val queryTimes = selectedQueries.map { case (name, fn) =>
       warmPageCache(clipsPath)
       warmPageCache(updatesPath)
       warmPageCache(sfDir)
-      warmPageCache(imagesPath)
-      warmPageCache(videosPath)
+      if (needsImages) { warmPageCache(imagesPath); warmPageCache(videosPath) }
       val t0 = System.nanoTime()
       val ok = try { fn(sparkGen, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }

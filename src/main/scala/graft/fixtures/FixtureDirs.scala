@@ -22,7 +22,11 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 object FixtureDirs {
 
   /** Generate-once with atomic publish. `write` receives a temp path and
-    * must produce the complete directory there. Returns the target path. */
+    * must produce the complete directory there. Returns the target path.
+    * A generator that CRASHES mid-write leaves an orphan `.tmp-*` dir;
+    * orphans are never adopted (only a completed write renames) and are
+    * not swept here — a live racer's temp is indistinguishable from an
+    * orphan without an age heuristic, and fixture payloads are small. */
   def ensureAtomic(parent: Path, targetName: String)(write: String => Unit): String = {
     val target = parent.resolve(targetName)
     if (!Files.exists(target)) {

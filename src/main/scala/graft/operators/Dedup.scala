@@ -244,6 +244,11 @@ object Dedup {
     // natural two-phase shape of a petabyte near-dup job — candidates are
     // a stage output (a scratch table in a production pipeline); the set
     // is dup-rate-sized, so caching it is cheap at any corpus size.
+    // Lifecycle: the entry is never explicitly unpersisted (the returned
+    // DataFrame's lifetime is the caller's); MEMORY_AND_DISK entries are
+    // LRU-evicted and recompute correctly, so repeated calls cost cache
+    // metadata, not correctness. A long-lived service should
+    // spark.catalog.clearCache() between curation passes.
     val cands = fp
       .groupBy(col("sr"), col("f1"), col("nb"), col("f2b"))
       .agg(collect_list(struct(col("id"), col("n"), col("f2"))).as("xs"))

@@ -83,9 +83,12 @@ class CrashKillSpec extends AnyFunSuite {
              System.currentTimeMillis() - t0 < 180000) Thread.sleep(50)
       if (p.isAlive) {
         Thread.sleep(killDelaysMs(attempt - 1))
+        // the child may drain and exit during the offset sleep — only a
+        // kill that lands on a LIVE process counts toward the soak
+        val wasAlive = p.isAlive
         p.destroyForcibly()
         p.waitFor(60, TimeUnit.SECONDS)
-        kills += 1
+        if (wasAlive) kills += 1
       } else {
         // drained everything before reaching the target depth — fine,
         // exactly-once must still hold below
