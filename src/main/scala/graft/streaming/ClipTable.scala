@@ -122,6 +122,39 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     } finally incoming.unpersist()
   }
 
+  /** Highest batch id this table has committed (repairs included); -1 for
+    * an empty table. Commit markers are the source of truth — both merge
+    * paths write one. */
+  def maxCommittedBatchId(): Long = {
+    val ids = listDir(commitsDir).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("batch-")) scala.util.Try(n.drop(6).toLong).toOption
+      else None
+    }
+    if (ids.isEmpty) -1L else ids.max
+  }
+
+  /** Operational BACKFILL/REPAIR: merge `recomputed` — the batch twin's
+    * output for a damaged or late-corrected range — over the table. The
+    * repair takes a batch id in a band above every possible stream epoch
+    * (`RepairBand`), so its rows supersede everything the live stream has
+    * written for the same keys, and its delta directory can never collide
+    * with (or be overwritten by) a replayed stream micro-batch.
+    *
+    * CONTRACT: repair only key ranges the stream can no longer emit
+    * (behind its watermark — exactly the ranges that need out-of-band
+    * correction). A live-stream write to a repaired key would lose the
+    * latest-wins tiebreak to the repair band; keys ahead of the watermark
+    * belong to the stream, not to repairs. Repairs are idempotent
+    * (re-running one is a latest-wins fixed point) and stack (each takes
+    * the next id in the band, so a newer repair supersedes an older one).
+    * Returns the repair's batch id. */
+  def repair(recomputed: DataFrame): Long = synchronized {
+    val id = math.max(ClipTable.RepairBand, maxCommittedBatchId() + 1)
+    merge(recomputed, id)
+    id
+  }
+
   private def compactedDir: Path = Paths.get(root, "compacted")
 
   // ---------------------------------------------------------- compaction
@@ -266,8 +299,9 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     val base = latestBase.filterNot(p => gcSet.contains(relOf(p)))
     val deltas = deltaBatchDirs.filterNot(p => gcSet.contains(relOf(p)))
     if (base.isEmpty && deltas.isEmpty) { gcSweep(); return }
-    val current = morDedup(
-      spark.read.parquet((base.toSeq ++ deltas).map(_.toString): _*))
+    val current = morDedup( // mergeSchema: deltas may have evolved columns
+      spark.read.option("mergeSchema", "true")
+        .parquet((base.toSeq ++ deltas).map(_.toString): _*))
     val staging = Paths.get(root, "_compact-staging")
     deleteRecursively(staging)
     current.repartition(numBuckets, col("_bucket"))
@@ -345,7 +379,8 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     val existingDirs = touched.map(bucketDir).filter(Files.exists(_))
     val existing: Option[DataFrame] =
       if (existingDirs.isEmpty) None
-      else Some(spark.read.parquet(existingDirs.map(_.toString).toIndexedSeq: _*)
+      else Some(spark.read.option("mergeSchema", "true") // evolved buckets
+        .parquet(existingDirs.map(_.toString).toIndexedSeq: _*)
         .withColumn("_bucket", bucketOf))
 
     val unioned = existing match {
@@ -409,7 +444,11 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
         .filterNot(d => gcSet.contains(relOf(d))).map(_.toString)
     }
     if (live.isEmpty) return spark.emptyDataFrame
-    val raw = spark.read.parquet(live.toSeq: _*)
+    // mergeSchema: batches may evolve the schema (add columns) — without
+    // it the parquet reader takes ONE file's schema and silently drops
+    // the others' new columns (COW unions by name on merge; MOR reads the
+    // heterogeneous base+delta set directly, so the union happens here)
+    val raw = spark.read.option("mergeSchema", "true").parquet(live.toSeq: _*)
     if (!mergeOnRead) raw else morDedup(raw)
   }
 
@@ -426,4 +465,13 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+}
+
+object ClipTable {
+  /** Batch-id band for out-of-band repairs (see [[ClipTable.repair]]):
+    * far above any realistic stream epoch count (2^40 micro-batches at
+    * one per second is ~35,000 years), so repair rows win latest-wins
+    * against every stream write and repair delta dirs never collide with
+    * stream delta dirs. */
+  val RepairBand: Long = 1L << 40
 }
