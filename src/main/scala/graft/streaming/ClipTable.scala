@@ -447,7 +447,11 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     // mergeSchema: batches may evolve the schema (add columns) — without
     // it the parquet reader takes ONE file's schema and silently drops
     // the others' new columns (COW unions by name on merge; MOR reads the
-    // heterogeneous base+delta set directly, so the union happens here)
+    // heterogeneous base+delta set directly, so the union happens here).
+    // Cost note: schema merging reads every file footer at plan time; the
+    // file count is bounded by compaction (base + <= maxDeltas deltas) so
+    // this stays O(buckets + deltas), not O(history). A real Iceberg
+    // catalog tracks the schema in table metadata and skips this walk.
     val raw = spark.read.option("mergeSchema", "true").parquet(live.toSeq: _*)
     if (!mergeOnRead) raw else morDedup(raw)
   }

@@ -175,6 +175,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hinted.isEmpty, s"bulk IVF carries broadcast hints:\n${qe.optimizedPlan}")
   }
 
+  test("GLOBAL: no query shuffles a binary payload column un-reduced") {
+    // Every query in the surface, one rule: a binary column in a shuffle
+    // must be either an aggregation BUFFER (partial collect_list /
+    // percentile sketches — tiny by construction) or candidate-row
+    // payload sitting above a broadcast semi-join reduction. Anything
+    // else is a corpus-sized byte shuffle — the class of bug that filled
+    // the disk at sf1 this round.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val qe = fn(spark, sf).queryExecution
+      allPhysicalPlans(qe).flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          val binCols = e.child.output.filter(a =>
+            a.dataType == org.apache.spark.sql.types.BinaryType &&
+              a.name != "buf").map(_.name)
+          val reduced = e.child.collect {
+            case b: org.apache.spark.sql.execution.joins.BaseJoinExec
+              if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
+          }
+          if (binCols.nonEmpty && reduced.isEmpty) Some(s"$name: $binCols")
+          else None
+      }.flatten)
+    }
+    assert(offenders.isEmpty, s"un-reduced binary shuffles:\n${offenders.mkString("\n")}")
+  }
+
   test("d2: no document text below the banded MinHash-LSH candidate bucket") {
     candidateBucketCarriesOnly("d2_neardup_minhash", "bhash",
       Set("text", "text_a", "text_b"))
