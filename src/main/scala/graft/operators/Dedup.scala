@@ -95,6 +95,65 @@ object Dedup {
         floor(col("jaccard") * 1e4).cast("long").as("jaccard_x1e4"))
   }
 
+  /** Duplicate-CLUSTER canonicalization: connected components over an
+    * undirected near-dup pair list — every id is assigned the MINIMUM id
+    * reachable through the pair graph, i.e. the canonical representative
+    * a curation pass keeps (pairs alone don't answer "which copy
+    * survives?" once duplicates chain A~B~C).
+    *
+    * Iterative min-label propagation, the standard Spark shape for
+    * components (GraphX/GraphFrames do the same under the hood): each
+    * round joins the edge list with current labels and takes the
+    * neighborhood minimum — O(E) shuffle per round, rounds bounded by the
+    * component diameter (dup clusters are shallow; `maxIters` guards
+    * pathological chains and non-convergence FAILS loudly rather than
+    * returning a half-propagated labeling). Deterministic: min() over a
+    * set has no ordering sensitivity. Intermediate labels are persisted
+    * per round and unpersisted eagerly.
+    *
+    * Output: (id, canonical_id) for every id that appears in a pair —
+    * rows not in any pair are their own canonical id by definition and
+    * are not emitted (join the corpus with a coalesce to materialize the
+    * full keep-list). */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(lvl)
+    // Each round's plan references the previous labels TWICE (the
+    // neighbor join and the convergence compare), so the LOGICAL PLAN
+    // doubles per round — persist caches data but not lineage, and by
+    // round ~25 plan analysis alone OOMs. localCheckpoint materializes
+    // AND truncates lineage each round (the standard iterative-graph
+    // idiom; block-manager storage, ContextCleaner reclaims superseded
+    // rounds when their references drop).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"components did not converge in $maxIters rounds — component diameter exceeds the bound; raise maxIters")
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
   /** SimHash near-dup: pairs within `maxHamming` of each other. Candidate
     * buckets = the 4 16-bit chunks of the signature (pigeonhole: hamming
     * <= 3 => at least one identical chunk). */

@@ -145,6 +145,17 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Duplicate-CLUSTER canonicalization: connected components over the
+    // near-dup pair graph (iterative min-label propagation) — the
+    // keep-list primitive a curation pass consumes once duplicates chain
+    // A~B~C. Oracled against a DuckDB RECURSIVE transitive closure over
+    // the SAME exact pair set d2 oracles.
+    "d5_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.nearDupJaccard(augmented(s, dir), "text", "doc_id",
+        threshold = 0.5, k = 32, bands = 16)
+      Dedup.components(pairs).orderBy("id")
+    }),
+
     // SimHash near-dup, fully oracled: portable token hash makes the 64-bit
     // signature reproducible in SQL; chunk-bucket recall at hamming<=3 is
     // COMPLETE by pigeonhole, so the engine pair set equals the oracle's
@@ -243,6 +254,22 @@ object DocQueries {
        |  FROM $src),
        |tokm AS (SELECT doc_id, unnest(toks) AS tok FROM tk)""".stripMargin
 
+  /** Exact all-pairs 3-gram-shingle Jaccard over `tk` — the ground-truth
+    * pair machinery shared by the d2 (pairs) and d5 (clusters) oracles.
+    * Ends at the `jac` CTE; callers append their own projection. */
+  private val jacPairsSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS j
+      |  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b)""".stripMargin
+
   private val simhashSql =
     """th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM tokm),
       |votes AS (
@@ -332,19 +359,26 @@ object DocQueries {
     "d2_neardup_minhash" ->
       s"""WITH $augmentedSql,
          |${tokSql("aug")},
-         |sh AS (
-         |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-         |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |jac AS (
-         |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS j
-         |  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b)
+         |$jacPairsSql
          |SELECT id_a, id_b, CAST(floor(j * 1e4) AS BIGINT) AS jaccard_x1e4
          |FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // RECURSIVE transitive closure over the SAME exact pair set d2
+    // oracles: every node's canonical id = the minimum id reachable
+    // through the dup graph — must equal the engine's iterative min-label
+    // propagation exactly.
+    "d5_dup_clusters" ->
+      s"""WITH RECURSIVE $augmentedSql,
+         |${tokSql("aug")},
+         |$jacPairsSql,
+         |prs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(id, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m)
+         |SELECT id, min(m) AS canonical_id FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
     "d3_neardup_simhash" ->
       s"""WITH $augmentedSql,
          |${tokSql("aug")},

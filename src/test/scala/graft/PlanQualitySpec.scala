@@ -114,6 +114,21 @@ class PlanQualitySpec extends AnyFunSuite {
       case other => other
     }
 
+  /** Every node of a physical plan, descending through the LEAF wrappers
+    * tree traversal stops at: AdaptiveSparkPlanExec (current plan) and
+    * materialized QueryStageExec (once a cached/adaptive plan EXECUTES,
+    * its operators hide inside stage wrappers — a plain collect() then
+    * sees nothing, so gates would silently pass or spuriously fail
+    * depending on which test ran first). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+
   private def allPhysicalPlans(
       qe: org.apache.spark.sql.execution.QueryExecution): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val cached = qe.optimizedPlan.collect {
@@ -123,6 +138,11 @@ class PlanQualitySpec extends AnyFunSuite {
     unwrapAqe(qe.executedPlan) +: cached
   }
 
+  /** All nodes across the top plan and cached subplans. */
+  private def allPlanNodes(
+      qe: org.apache.spark.sql.execution.QueryExecution): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    allPhysicalPlans(qe).flatMap(allNodes)
+
   /** The r4 audio near-dup shape: candidate generation is a groupBy bucket
     * (collect_list per LSH bucket), not a self-join. Assert the bucket
     * aggregation exists on the key and that NO shuffle exchange anywhere —
@@ -131,16 +151,16 @@ class PlanQualitySpec extends AnyFunSuite {
   private def candidateBucketCarriesOnly(name: String, keyHint: String,
                                          forbidden: Set[String]): Unit = {
     val qe = SparkEntry.queries(name)(spark, sf).queryExecution
-    val plans = allPhysicalPlans(qe)
-    val aggs = plans.flatMap(_.collect {
+    val nodes = allPlanNodes(qe)
+    val aggs = nodes.collect {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
         if a.groupingExpressions.exists(_.references.exists(_.name == keyHint)) => a
-    })
+    }
     assert(aggs.nonEmpty,
       s"$name: no candidate bucket aggregation on $keyHint found:\n${qe.executedPlan}")
-    val exchanges = plans.flatMap(_.collect {
+    val exchanges = nodes.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    })
+    }
     exchanges.foreach { e =>
       val cols = e.child.output.map(_.name).toSet
       val bad = cols.intersect(forbidden)
@@ -151,7 +171,7 @@ class PlanQualitySpec extends AnyFunSuite {
         // shuffle with no reduction below it is the 100 TB incident this
         // gate exists for (the whole byte column hash-shuffled + sorted
         // to serve a tiny candidate set — filled the sandbox disk at sf1).
-        val reduced = e.child.collect {
+        val reduced = allNodes(e.child).collect {
           case b: org.apache.spark.sql.execution.joins.BaseJoinExec
             if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
         }
@@ -184,18 +204,19 @@ class PlanQualitySpec extends AnyFunSuite {
     // the disk at sf1 this round.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val qe = fn(spark, sf).queryExecution
-      allPhysicalPlans(qe).flatMap(_.collect {
+      allPlanNodes(qe).flatMap {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
           val binCols = e.child.output.filter(a =>
             a.dataType == org.apache.spark.sql.types.BinaryType &&
               a.name != "buf").map(_.name)
-          val reduced = e.child.collect {
+          val reduced = allNodes(e.child).collect {
             case b: org.apache.spark.sql.execution.joins.BaseJoinExec
               if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
           }
           if (binCols.nonEmpty && reduced.isEmpty) Some(s"$name: $binCols")
           else None
-      }.flatten)
+        case _ => None
+      }
     }
     assert(offenders.isEmpty, s"un-reduced binary shuffles:\n${offenders.mkString("\n")}")
   }
@@ -243,9 +264,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // Counted STRUCTURALLY, not by plan-string grep: InMemoryTableScan
     // leaves render their cached plan inline, so the same cached site
     // would string-count once per reference.
-    def sites(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    def sites(nodes: Seq[org.apache.spark.sql.execution.SparkPlan]): Int = {
       var n = 0
-      p.foreach {
+      nodes.foreach {
         case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => ()
         case node => node.expressions.foreach(_.foreach {
           case _: graft.functions.PcmTonePair => n += 1
@@ -257,7 +278,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val clips = graft.fixtures.ClipGen.readClips(spark, sf)
     for (df <- Seq(graft.operators.Dedup.audioNearDup(clips),
                    graft.operators.Dedup.audioNearDupShift(clips))) {
-      val n = allPhysicalPlans(df.queryExecution).map(sites).sum
+      val n = sites(allPlanNodes(df.queryExecution))
       assert(n == 1, s"expected 1 pcm_tone_pair evaluation site, found $n")
     }
   }

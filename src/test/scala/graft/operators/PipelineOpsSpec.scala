@@ -124,6 +124,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(foundNear >= 0.8, s"near-dup recall $foundNear")
   }
 
+  test("components: chains collapse to the min id; clusters stay separate") {
+    // a 5-node chain (diameter test: the min must walk the whole chain),
+    // a triangle, an isolated pair — all in one pair list
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), // chain 1-2-3-4-5
+      (10L, 11L), (11L, 12L), (10L, 12L),     // triangle
+      (20L, 21L)                              // pair
+    ).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // deterministic under partitioning
+    val again = Dedup.components(pairs.repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // a diameter beyond maxIters fails loudly instead of returning a
+    // half-propagated labeling
+    val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.components(longChain, maxIters = 3).collect()
+    }
+    assert(Dedup.components(longChain, maxIters = 40)
+      .as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
+
   test("simhash near-dup finds exact copies at hamming 0") {
     val pairs = Dedup.simhashNearDup(docsAug, "text", "doc_id", maxHamming = 3)
     // original -> its exact copy only (copy-of-copy pairs are separate)
