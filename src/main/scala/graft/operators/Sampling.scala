@@ -60,6 +60,27 @@ object Sampling {
       .drop("_cap_rn")
   }
 
+  /** Token-budget packing (training-mix staple: "at most N tokens per
+    * language/source, not at most N documents"): keeps, per group, the
+    * prefix of rows — in deterministic hash-priority order — whose
+    * RUNNING token total stays within `budget`. The kept set is a pure
+    * function of (ids, token counts): reproducible on any cluster and
+    * stable when other groups change, like every operator here. A row
+    * larger than the remaining budget is skipped and ends the prefix
+    * (contiguous-prefix semantics keep the oracle exactly expressible —
+    * greedy skip-and-continue would too, but as a harder SQL). One window
+    * shuffle on the group key. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                          tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("_run_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("_run_tokens") <= budget)
+      .drop("_run_tokens")
+  }
+
   /** Skew-safe frequency capping: identical output to [[capPerGroup]],
     * built for corpora where one group holds a huge share of the rows (a
     * single window partition would serialize it onto one task). Two-phase

@@ -84,6 +84,19 @@ object DocQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Token-BUDGET packing: per language, keep the deterministic
+    // hash-priority prefix of documents whose running whitespace-token
+    // total stays within the budget — the "fill a fixed training mix per
+    // language" primitive (capping bounds document COUNT; this bounds
+    // token MASS). The oracle states the same running window sum.
+    "t8_token_budget" -> ((s, dir) => {
+      val withTok = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))
+      graft.operators.Sampling.tokenBudgetPerGroup(
+        withTok, "lang", "doc_id", "n_ws_tokens", budget = 2000L)
+        .orderBy("lang", "doc_id")
+    }),
+
     // Language-ID heuristic + simhash + winnowing fingerprint. All three
     // are fully oracled: the token/shingle hash is the oracle-portable md5
     // lower half (== DuckDB md5_number_lower), signatures/fingerprints are
@@ -419,6 +432,17 @@ object DocQueries {
         |QUALIFY row_number() OVER (
         |  PARTITION BY lang
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+    "t8_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_ws_tokens FROM d
+        |QUALIFY sum(n_ws_tokens) OVER (
+        |  PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 2000
         |ORDER BY lang, doc_id""".stripMargin,
     "t4_token_quality" ->
       """SELECT doc_id,

@@ -47,6 +47,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(tiny.count() == 3)
   }
 
+  test("tokenBudgetPerGroup: maximal hash-order prefix within budget, deterministic") {
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 3}", 10L + i % 7))
+      .toDF("id", "grp", "toks")
+    val kept = Sampling.tokenBudgetPerGroup(df, "grp", "id", "toks", 500L)
+      .select("id", "grp", "toks").as[(Long, String, Long)].collect()
+    // per group: total within budget, and the kept set is exactly the
+    // maximal prefix in (md5-hex(id), id) order — verified independently
+    val perGroup = kept.groupBy(_._2)
+    assert(perGroup.keySet == Set("g0", "g1", "g2"))
+    val all = df.as[(Long, String, Long)].collect()
+    def md5hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((g, rows) <- perGroup) {
+      assert(rows.map(_._3).sum <= 500L)
+      val order = all.filter(_._2 == g).sortBy(t => (md5hex(t._1), t._1))
+      var run = 0L
+      val expect = order.takeWhile { t => run += t._3; run <= 500L }.map(_._1).toSet
+      assert(rows.map(_._1).toSet == expect, s"group $g kept wrong prefix")
+    }
+    // stable across partitioning
+    val again = Sampling.tokenBudgetPerGroup(df.repartition(13), "grp", "id", "toks", 500L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.map(_._1).sorted.toSeq)
+    // a first row larger than the budget empties the group
+    val fat = Seq((1L, "g", 100L), (2L, "g", 100L)).toDF("id", "grp", "toks")
+    assert(Sampling.tokenBudgetPerGroup(fat, "grp", "id", "toks", 50L).count() == 0)
+  }
+
   test("capPerGroupSalted: identical kept set to capPerGroup, incl. one-group skew") {
     // balanced corpus, several salt counts (1 = degenerate single phase)
     val plain = Sampling.capPerGroup(corpus(1000), "grp", "id", 7)
