@@ -139,13 +139,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // the convergence flag rides the propagation pass itself — a
+      // separate next-vs-previous join would cost one more shuffle per
+      // round; counting the flag on the checkpointed result is a cheap
+      // cached-block scan
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("_changed"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
       i += 1
     }
     edges.unpersist()
