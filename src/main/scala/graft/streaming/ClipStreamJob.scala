@@ -82,8 +82,21 @@ object ClipStreamJob {
     * near-dup), while organic collisions must now also match f2 within
     * the bucket. For guaranteed-lossless dedup use `Dedup.audioNearDup*`,
     * whose exact correlation verify has no false drops at any scale. */
+  /** `shiftRobust`: additionally drop re-uploads whose leading samples
+    * were TRIMMED (the c15 attack, on ingest). Streaming state can hold
+    * only ONE key per row (no adjacent-bucket emission like the batch
+    * detector — exploding copies would change stream cardinality), so the
+    * length key coarsens to an `nBucket`-wide bucket: a trim <= maxTrim
+    * maps to the same bucket unless the length straddles a bucket edge
+    * (~trim/nBucket of clips ~= 4% at the defaults) — those are KEPT, the
+    * benign direction, and collapse later in the batch `audioNearDupShift`
+    * pass which has the exact aligned-correlation verify. */
   def audioDedupStream(clips: DataFrame, watermark: String = "30 seconds",
-                       f2BucketHz: Int = 64): DataFrame =
+                       f2BucketHz: Int = 64, shiftRobust: Boolean = false,
+                       nBucket: Int = 4096): DataFrame = {
+    val nKey =
+      if (shiftRobust) (col("n_samples") / nBucket).cast("int")
+      else col("n_samples").cast("int")
     clips
       .withColumn("n_samples",
         graft.functions.GraftFunctions.pcm_sample_count(col("bytes"), col("codec")))
@@ -91,9 +104,11 @@ object ClipStreamJob {
         col("bytes"), col("codec"), col("sr_hz")))
       .withColumn("f1", element_at(col("fp"), 1))
       .withColumn("f2b", (element_at(col("fp"), 2) / f2BucketHz).cast("int"))
+      .withColumn("nk", nKey)
       .withWatermark("event_time", watermark)
-      .dropDuplicatesWithinWatermark("sr_hz", "n_samples", "f1", "f2b")
-      .drop("fp", "n_samples", "f1", "f2b")
+      .dropDuplicatesWithinWatermark("sr_hz", "nk", "f1", "f2b")
+      .drop("fp", "n_samples", "f1", "f2b", "nk")
+  }
 
   /** NORMALIZE-ON-INGEST: every clip leaves this stage as pcm16 at
     * `targetHz` (mixed-rate corpus -> one model rate, the c17 operation
