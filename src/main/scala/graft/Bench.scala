@@ -226,15 +226,36 @@ object Bench {
       if (needsImages) graft.fixtures.ImageGen.ensure(sparkGen, sfDir) else ""
     val videosPath =
       if (needsImages) graft.fixtures.VideoGen.ensure(sparkGen, sfDir) else ""
+    val mixedPath =
+      if (needsImages) graft.fixtures.MixedImageGen.ensure(sparkGen, sfDir) else ""
+    // BEST-OF-k (min) per query, k=2 default — single-shot times produced
+    // phantom regressions three rounds running (r4: c10 +36%, c11 +52% on
+    // untouched kernels; r3: q8/q9/s1 — all snapped back next round).
+    // Each timed run starts COLD-CACHE (clearCache between runs): the
+    // near-dup operators persist their candidate stage, and a canonical-
+    // plan cache hit would let run 2 skip the whole fingerprint scan —
+    // min() would then measure the verify stage only, not the query.
+    // Image/video fixture pages are warmed only before i/v queries
+    // (ADVICE r4: warming them before clip-only queries can evict clip
+    // pages on this memory-tight sandbox and perturb c-query timings).
+    val queryK = sys.env.getOrElse("SPARK_GRAFT_QUERY_K", "2").toInt
     val queryTimes = selectedQueries.map { case (name, fn) =>
-      warmPageCache(clipsPath)
-      warmPageCache(updatesPath)
-      warmPageCache(sfDir)
-      if (needsImages) { warmPageCache(imagesPath); warmPageCache(videosPath) }
-      val t0 = System.nanoTime()
-      val ok = try { fn(sparkGen, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def once(): Double = {
+        sparkGen.catalog.clearCache()
+        warmPageCache(clipsPath)
+        warmPageCache(updatesPath)
+        warmPageCache(sfDir)
+        if (name.startsWith("i") || name.startsWith("v")) {
+          warmPageCache(imagesPath); warmPageCache(videosPath)
+          warmPageCache(mixedPath)
+        }
+        val t0 = System.nanoTime()
+        fn(sparkGen, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = try (1 to queryK).map(_ => once()).min
+        catch { case _: Throwable => -1.0 }
+      name -> t
     }
 
     // --- phase 1.5: JIT warmup + ground truth — one BATCH pass of the

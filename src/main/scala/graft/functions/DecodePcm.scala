@@ -330,6 +330,10 @@ object GraftFunctions {
 
   def y4m_motion_stats(bytes: Column): Column = toColumn(Y4mMotionStats(toExpr(bytes)))
 
+  def image_meta(bytes: Column): Column = toColumn(ImageMetaExpr(toExpr(bytes)))
+
+  def image_luma_mean(bytes: Column): Column = toColumn(ImageLumaMean(toExpr(bytes)))
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def lang_id_ngram(text: Column): Column = toColumn(LangIdNgram(toExpr(text)))
   def rel_url(base: Column, rel: Column): Column =
@@ -376,6 +380,10 @@ object GraftFunctions {
       es => PpmLumaMean(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("y4m_motion_stats",
       es => Y4mMotionStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_meta",
+      es => ImageMetaExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_luma_mean",
+      es => ImageLumaMean(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_aligned_corr",
       es => PcmAlignedCorr(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")

@@ -26,6 +26,68 @@ case class PpmLumaMean(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** `image_meta(bytes) -> struct(format, width, height, channels,
+  * bit_depth)` — LIBRARY-FREE header metadata for compressed and
+  * uncompressed image payloads (JPEG SOF marker walk, PNG IHDR, GIF
+  * screen descriptor, BMP info header, netpbm; see
+  * graft.image.ImageMeta). Null for unparseable/unknown payloads —
+  * row-level data quality, never a job failure. Runs in the scan stage at
+  * header-walk cost (no pixel decoded), so dimension/format stats and
+  * filters over a 100 TB image column cost a metadata pass, not a decode
+  * pass. */
+case class ImageMetaExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_meta expects binary, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("format",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("width",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("height",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("channels",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("bit_depth",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_meta"
+  override def nullSafeEval(bytes: Any): Any =
+    graft.image.ImageMeta.metaRow(bytes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = graft.image.ImageMeta.metaRow($b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `image_luma_mean(bytes) -> double` — mean BT.601 luma of ANY supported
+  * image payload: netpbm through the fused raster pass (no pixel array),
+  * JPEG/PNG/GIF/BMP through the JDK decoder (graft.image.JdkImageCodec —
+  * java.desktop, no external jars). Null when undecodable. The
+  * compressed-modality sibling of `ppm_luma_mean`. */
+case class ImageLumaMean(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_luma_mean expects binary, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_luma_mean"
+  override def nullSafeEval(bytes: Any): Any = {
+    val v = graft.image.ImageMeta.lumaMeanAny(bytes.asInstanceOf[Array[Byte]])
+    if (v.isNaN) null else v
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = graft.image.ImageMeta.lumaMeanAny($b);
+         |${ev.isNull} = Double.isNaN(${ev.value});""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** `y4m_motion_stats(bytes) -> array<double>` — [n_frames, mean_luma,
   * mean |Δ frame-mean luma|] of an uncompressed YUV4MPEG2 payload in one
   * fused pass over the luma planes (chroma never read; see

@@ -83,6 +83,13 @@ object ImageCodec {
     Header(ch, w, h, maxv, pos)
   }
 
+  /** Header metadata for [[ImageMeta]]: (channels, width, height, maxval).
+    * Throws on malformed headers — ImageMeta wraps. */
+  private[image] def headerMeta(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    val hd = parseHeader(bytes)
+    (hd.channels, hd.width, hd.height, hd.maxval)
+  }
+
   /** Decode a binary PGM (P5) or PPM (P6): header (`#` comments allowed),
     * then the raster — 1 byte/sample for maxval < 256, 2 big-endian
     * bytes otherwise, normalized to [0, 1]. */

@@ -20,6 +20,58 @@ import graft.functions.GraftFunctions._
   */
 object Dedup {
 
+  /** How candidate pairs get their payloads (text/vector) back after the
+    * id-only candidate generation:
+    *
+    *  - [[Rehydration.Direct]]: plain id-equi-joins of the pair set with
+    *    the payload table — ONE pass over the corpus, but the payload
+    *    column rides the join shuffle. Right when the corpus comfortably
+    *    fits a shuffle (fixture/small scale).
+    *  - [[Rehydration.SemiJoin]]: broadcast semi-join reduction — the
+    *    candidate ID set (tiny) is broadcast to filter the payload in its
+    *    scan stage, so only candidate rows' payload ever reaches a join.
+    *    Costs two extra payload scans + a persisted candidate stage;
+    *    the ONLY shape that survives a 100 TB corpus (a direct join there
+    *    is a corpus-sized payload exchange per side — it filled this
+    *    sandbox's disk at sf1 in r3).
+    *  - [[Rehydration.Auto]] (default): Direct when the payload side's
+    *    plan-stats size is at most [[DirectRehydrateMaxBytes]], SemiJoin
+    *    otherwise. Output is IDENTICAL either way (parity-tested); only
+    *    the execution shape differs.
+    *
+    * CACHE LIFECYCLE (shared by nearDupJaccard / embeddingNearDup /
+    * audioNearDupShift): the SemiJoin path persists the candidate pair set
+    * (referenced three times — without the stage boundary each reference
+    * would re-run the whole signature/DSP scan) and never explicitly
+    * unpersists it, because the returned DataFrame's lifetime is the
+    * caller's. MEMORY_AND_DISK entries are LRU-evicted and recompute
+    * correctly, so repeated calls in a long-lived session cost cache
+    * metadata, not correctness — a service running many curation passes
+    * should `spark.catalog.clearCache()` between passes. The Direct path
+    * persists nothing. */
+  sealed trait Rehydration
+  object Rehydration {
+    case object Auto extends Rehydration
+    case object Direct extends Rehydration
+    case object SemiJoin extends Rehydration
+  }
+
+  /** Auto threshold: payloads up to this plan-stats size rehydrate by
+    * direct join. 1 GiB — a trivially cheap shuffle on any cluster, far
+    * below any size where the semi-join reduction's two extra scans pay
+    * for themselves. */
+  val DirectRehydrateMaxBytes: Long = 1L << 30
+
+  private def choosesDirect(payload: DataFrame, strategy: Rehydration): Boolean =
+    strategy match {
+      case Rehydration.Direct => true
+      case Rehydration.SemiJoin => false
+      case Rehydration.Auto =>
+        payload.queryExecution.optimizedPlan.stats.sizeInBytes
+          .isValidLong && payload.queryExecution.optimizedPlan.stats.sizeInBytes
+          .toLong <= DirectRehydrateMaxBytes
+    }
+
   /** Normalize + digest for exact dedup (md5 keeps the oracle portable). */
   def digest(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
@@ -73,22 +125,30 @@ object Dedup {
     * across engines) and the default is bands=16 — callers of the r1
     * `jaccard` double column / bands=8 default must update. */
   def nearDupJaccard(df: DataFrame, textCol: String, idCol: String,
-                     threshold: Double = 0.7, k: Int = 32, bands: Int = 16): DataFrame = {
+                     threshold: Double = 0.7, k: Int = 32, bands: Int = 16,
+                     rehydration: Rehydration = Rehydration.Auto): DataFrame = {
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .dropDuplicates("id")
-    // materialized stage boundary + broadcast semi-join reduction: only
-    // candidate rows' text ever reaches a join — a direct join would
-    // shuffle+sort the whole text corpus for a dup-rate-sized pair set,
-    // and the three references below would re-run the signature scan
-    // without the persist (see audioNearDupShift)
-    val pairs = minhashLsh(df, textCol, idCol, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def reduced(side: String) = texts
-      .join(broadcast(pairs.select(col(side).as("id")).distinct()),
-        Seq("id"), "leftsemi")
+    val direct = choosesDirect(texts, rehydration)
+    // SemiJoin: materialized stage boundary + broadcast semi-join
+    // reduction — only candidate rows' text ever reaches a join (a direct
+    // join at corpus scale shuffles+sorts the whole text column for a
+    // dup-rate-sized pair set), and without the persist the three
+    // references below would re-run the signature scan. Direct: the pair
+    // set is referenced once, so no persist and one corpus pass total
+    // (see [[Rehydration]] for the trade and the cache lifecycle).
+    val pairs0 = minhashLsh(df, textCol, idCol, k, bands)
+    val pairs = if (direct) pairs0
+      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(s: String, out: String) = {
+      val base = if (direct) texts
+        else texts.join(broadcast(pairs.select(col(s).as("id")).distinct()),
+          Seq("id"), "leftsemi")
+      base.select(col("id").as(s), col("text").as(out))
+    }
     pairs
-      .join(reduced("id_a").select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(reduced("id_b").select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .join(side("id_a", "text_a"), "id_a")
+      .join(side("id_b", "text_b"), "id_b")
       .withColumn("jaccard", jaccard_sim(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
@@ -139,16 +199,23 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      // the convergence flag rides the propagation pass itself — a
-      // separate next-vs-previous join would cost one more shuffle per
-      // round; counting the flag on the checkpointed result is a cheap
-      // cached-block scan
+      // the convergence count rides the CHECKPOINT JOB itself via an
+      // Observation (CollectMetrics): one job per round total, where the
+      // r4 form paid a second (cached-scan count) job per round. The
+      // eager localCheckpoint is a Dataset action, so the observed
+      // metric is complete when it returns.
+      val obs = org.apache.spark.sql.Observation(s"components-round-$i")
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label")).as("_changed"))
+        .observe(obs, sum(when(col("_changed"), 1L).otherwise(0L)).as("n_changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("_changed")).count()
+      changed = obs.get("n_changed") match {
+        case null => 0L // empty round (no labels at all)
+        case n: java.lang.Long => n.longValue()
+        case other => other.toString.toLong
+      }
       labels = next.drop("_changed")
       i += 1
     }
@@ -190,30 +257,36 @@ object Dedup {
     * in expectation — never all-pairs. */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.90, nBits: Int = 8,
-                       nTables: Int = 16): DataFrame = {
+                       nTables: Int = 16,
+                       rehydration: Rehydration = Rehydration.Auto): DataFrame = {
     // PRECONDITION: idCol unique per row (see nearDupJaccard) — defended
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .dropDuplicates("id")
+    val direct = choosesDirect(vecs, rehydration)
     val banded = vecs.select(col("id"),
       posexplode(vec_lsh_buckets(col("v"), lit(nBits), lit(nTables)))
         .as(Seq("table", "bucket")))
     // GroupBy-bucket pairing (single vec_lsh_buckets scan — see minhashLsh).
-    val pairs = banded.groupBy(col("table"), col("bucket"))
+    val pairs0 = banded.groupBy(col("table"), col("bucket"))
       .agg(collect_list(col("id")).as("xs"))
       .select(col("bucket"), explode(col("xs")).as("id_a"), col("xs"))
       .select(col("id_a"), explode(filter(col("xs"), y =>
         col("bucket").isNotNull && col("id_a") < y)).as("id_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // broadcast semi-join reduction (see audioNearDupShift): only
-    // candidate rows' vectors reach a join; the persist above is the
-    // stage boundary the three references share
-    def reduced(side: String) = vecs
-      .join(broadcast(pairs.select(col(side).as("id")).distinct()),
-        Seq("id"), "leftsemi")
+    // SemiJoin: only candidate rows' vectors reach a join, the persist is
+    // the stage boundary the three references share. Direct: one pass, no
+    // persist. See [[Rehydration]] for the switch and cache lifecycle.
+    val pairs = if (direct) pairs0
+      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(s: String, out: String) = {
+      val base = if (direct) vecs
+        else vecs.join(broadcast(pairs.select(col(s).as("id")).distinct()),
+          Seq("id"), "leftsemi")
+      base.select(col("id").as(s), col("v").as(out))
+    }
     pairs
-      .join(reduced("id_a").select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(reduced("id_b").select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .join(side("id_a", "v_a"), "id_a")
+      .join(side("id_b", "v_b"), "id_b")
       .withColumn("cos", qcosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), floor(col("cos") * 1e6).as("cos_x1e6"))
@@ -257,9 +330,11 @@ object Dedup {
     *     appear at 10^12 rows; each costs one bounded verify, not a wrong
     *     answer).
     *
-    * Skew note: group sizes are bounded by the (sr, f1, nb, f2b) key
-    * cardinality; a corpus of near-identical tones would hot-spot one key
-    * and should pre-salt the join (Salting.saltedAgg discipline).
+    * Skew: group sizes are bounded by the (sr, f1, nb, f2b) key
+    * cardinality; a corpus of near-identical tones hot-spots one key.
+    * `salts` > 1 engages cell pairing (see the candidate-stage comment) —
+    * identical output, hot group spread over S(S+1)/2 tasks
+    * (AudioSkewSpec: planted one-key corpus, salted == unsalted).
     *
     * The SECOND tone also rides the candidate key as a bucket (width
     * tolHz, adjacent-bucket emission like nb — any |Δf2| <= tolHz pair
@@ -272,8 +347,10 @@ object Dedup {
   def audioNearDupShift(clips: DataFrame, maxTrim: Int = 160, tolHz: Int = 16,
                         minCorr: Double = 0.8,
                         idCol: String = "clip_id", bytesCol: String = "bytes",
-                        codecCol: String = "codec", srCol: String = "sr_hz"): DataFrame = {
+                        codecCol: String = "codec", srCol: String = "sr_hz",
+                        salts: Int = 1): DataFrame = {
     require(maxTrim >= 0, s"maxTrim must be >= 0, got $maxTrim")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val bucketW = math.max(256, maxTrim + 1)
     val f2W = math.max(tolHz, 1)
     val fp = clips.select(col(idCol).as("id"), col(srCol).as("sr"),
@@ -307,21 +384,63 @@ object Dedup {
     // natural two-phase shape of a petabyte near-dup job — candidates are
     // a stage output (a scratch table in a production pipeline); the set
     // is dup-rate-sized, so caching it is cheap at any corpus size.
-    // Lifecycle: the entry is never explicitly unpersisted (the returned
-    // DataFrame's lifetime is the caller's); MEMORY_AND_DISK entries are
-    // LRU-evicted and recompute correctly, so repeated calls cost cache
-    // metadata, not correctness. A long-lived service should
-    // spark.catalog.clearCache() between curation passes.
-    val cands = fp
-      .groupBy(col("sr"), col("f1"), col("nb"), col("f2b"))
-      .agg(collect_list(struct(col("id"), col("n"), col("f2"))).as("xs"))
-      .select(col("sr"), col("f1"), explode(col("xs")).as("x"), col("xs"))
-      .select(col("x"), explode(filter(col("xs"), y =>
-        col("sr").isNotNull && col("f1").isNotNull &&
-          col("x.id") < y("id") &&
-          abs(col("x.n") - y("n")) <= maxTrim &&
-          abs(col("x.f2") - y("f2")) <= tolHz)).as("y"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // Cache lifecycle: see [[Rehydration]] (shared note). This operator
+    // always uses the semi-join reduction — its payload is the BINARY
+    // byte column, the fattest in the engine, and the global plan gate
+    // (PlanQualitySpec) structurally forbids un-reduced binary shuffles
+    // at every scale.
+    // `salts` > 1 engages the HOT-KEY path (the Salting discipline, wired
+    // end-to-end for pairing): a near-constant-tone corpus concentrates
+    // one (sr, f1, nb, f2b) key, and the single-cell groupBy would
+    // collect that whole group into ONE task. Cell pairing spreads it:
+    // each row (salt s = hash(id) mod S) is replicated into the S cells
+    // {(s, j): j >= s} ∪ {(i, s): i < s}, the group key gains (cellA,
+    // cellB), and within cell (a, b) pairs are generated with x from
+    // salt a and y from salt b (triangular by id when a == b). Every
+    // unordered pair lands in EXACTLY one cell — (min(sa,sb),
+    // max(sa,sb)) — so the pair set is IDENTICAL to the unsalted plan
+    // (spec-asserted) while a hot group of m rows is spread over
+    // S(S+1)/2 tasks of ~2m/S rows each. Cost when engaged: S× the
+    // (tiny) fingerprint shuffle volume — the payload never rides it.
+    val candsRaw =
+      if (salts == 1)
+        fp.groupBy(col("sr"), col("f1"), col("nb"), col("f2b"))
+          .agg(collect_list(struct(col("id"), col("n"), col("f2"))).as("xs"))
+          .select(col("sr"), col("f1"), explode(col("xs")).as("x"), col("xs"))
+          .select(col("x"), explode(filter(col("xs"), y =>
+            col("sr").isNotNull && col("f1").isNotNull &&
+              col("x.id") < y("id") &&
+              abs(col("x.n") - y("n")) <= maxTrim &&
+              abs(col("x.f2") - y("f2")) <= tolHz)).as("y"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      else {
+        val fpS = fp
+          .withColumn("_s", pmod(hash(col("id")), lit(salts)).cast("int"))
+          .withColumn("_cell", explode(concat(
+            transform(sequence(col("_s"), lit(salts - 1)),
+              j => struct(col("_s").as("a"), j.as("b"))),
+            transform(
+              when(col("_s") > 0, sequence(lit(0), col("_s") - 1))
+                .otherwise(array().cast("array<int>")),
+              i => struct(i.as("a"), col("_s").as("b"))))))
+          .withColumn("_ca", col("_cell.a"))
+          .withColumn("_cb", col("_cell.b"))
+        fpS.groupBy(col("sr"), col("f1"), col("nb"), col("f2b"),
+            col("_ca"), col("_cb"))
+          .agg(collect_list(struct(col("id"), col("n"), col("f2"), col("_s"))).as("xs"))
+          .select(col("sr"), col("f1"), col("_ca"), col("_cb"),
+            explode(col("xs")).as("x"), col("xs"))
+          .filter(col("x._s") === col("_ca")) // x takes the left role
+          .select(col("x"), explode(filter(col("xs"), y =>
+            col("sr").isNotNull && col("f1").isNotNull &&
+              y("_s") === col("_cb") &&
+              (col("_ca") =!= col("_cb") || col("x.id") < y("id")) &&
+              abs(col("x.n") - y("n")) <= maxTrim &&
+              abs(col("x.f2") - y("f2")) <= tolHz)).as("y"))
+          .select(least(col("x.id"), col("y.id")).as("id_a"),
+            greatest(col("x.id"), col("y.id")).as("id_b"))
+      }
+    val cands = candsRaw
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Rehydration via broadcast SEMI-JOIN REDUCTION, not a direct join of

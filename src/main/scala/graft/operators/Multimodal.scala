@@ -9,16 +9,18 @@ import graft.audio.AudioSynth.mix64
   * processed in partition-batches.
   *
   * Audio is this engine's fully-REAL modality (native decode/filterbank
-  * expressions in graft.functions). Images are REAL for uncompressed
-  * netpbm payloads (P5/P6 — graft.image.ImageCodec) and video is REAL
-  * for uncompressed YUV4MPEG2 (graft.image.Y4mCodec: header parse, frame
-  * walk, luma sampling; no library needed); only COMPRESSED codecs
-  * (JPEG/PNG/H.264...) remain STUBBED behind deterministic fakes,
-  * because their decoders need libraries this environment does not
-  * have — the Spark plumbing (schema, batching, partition-parallel
-  * transform, metadata handling) is identical either way, and a real
-  * JPEG/H.264 decoder drops into [[MediaKernels]] without touching the
-  * plan.
+  * expressions in graft.functions). Images are REAL end-to-end for BOTH
+  * uncompressed netpbm (P5/P6 — graft.image.ImageCodec) and compressed
+  * JPEG/PNG/GIF/BMP (graft.image.JdkImageCodec: javax.imageio, part of
+  * the JDK — no external jars; plus the library-free header-metadata walk
+  * in graft.image.ImageMeta). Video is REAL for uncompressed YUV4MPEG2
+  * (graft.image.Y4mCodec: header parse, frame walk, luma sampling); only
+  * COMPRESSED video codecs (H.264/VP9...) remain STUBBED behind
+  * deterministic fakes — the JDK ships no video decoder and this
+  * environment has no codec jars. The Spark plumbing (schema, batching,
+  * partition-parallel transform, metadata handling) is identical either
+  * way, and a real H.264 decoder drops into [[MediaKernels]] without
+  * touching the plan.
   *
   * The transform runs via `mapPartitions` on a typed Dataset — the Scala
   * analog of `mapInPandas`: one JVM-side batch per partition, no per-row
@@ -43,13 +45,15 @@ object Multimodal {
       out_height: Int,
       n_sampled_frames: Int)
 
-  /** STUB decode kernels — deterministic fakes keyed by content hash.
-    * Replace these bodies with real codec calls (javax.imageio / jcodec /
-    * ffmpeg bindings) when the libraries are available; signatures and
-    * the surrounding plan stay unchanged. */
+  /** STUB decode kernels — deterministic fakes keyed by content hash,
+    * now reached only by compressed VIDEO payloads and image payloads no
+    * real path claims (corrupt / exotic formats). Replace the video body
+    * with a real codec call (jcodec / ffmpeg bindings) when available;
+    * signatures and the surrounding plan stay unchanged. */
   object MediaKernels {
-    /** ??? in spirit: a real image decode is unavailable here. The fake
-      * "decodes" to a deterministic pseudo-pixel stream. */
+    /** ??? in spirit for unclaimed formats: "decodes" to a deterministic
+      * pseudo-pixel stream. JPEG/PNG/GIF/BMP no longer land here (see
+      * [[graft.image.JdkImageCodec]]). */
     def decodeImageStub(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
       val seed = bytes.foldLeft(0xBEEFL)((a, b) => mix64(a ^ (b & 0xFFL)))
       Array.tabulate(math.min(64, w * h))(i =>
@@ -83,19 +87,20 @@ object Multimodal {
             val bands = graft.audio.AudioCodec.bandEnergies(a.bytes, a.codec, 8000, 8)
             MediaFeature(a.asset_id, a.kind, bands.map(_.toFloat), 0, 0, 0)
           case "image" =>
-            // REAL path for netpbm payloads; anything else — including a
-            // corrupt/compressed payload that merely STARTS with 'P5'/'P6'
-            // (near-certain somewhere in a 100 TB corpus) — falls back to
-            // the stub instead of throwing a whole-job-killing exception
-            // out of mapPartitions.
-            val real: Option[MediaFeature] =
+            // REAL path for netpbm (direct raster parse) AND compressed
+            // JPEG/PNG/GIF/BMP (JDK decoder); a corrupt payload — or a
+            // format neither path claims, near-certain somewhere in a
+            // 100 TB corpus — falls back to the stub instead of throwing
+            // a whole-job-killing exception out of mapPartitions.
+            val netpbm: Option[graft.image.ImageCodec.Image] =
               if (graft.image.ImageCodec.magicOf(a.bytes).isEmpty) None
-              else scala.util.Try {
-                val img = graft.image.ImageCodec.decode(a.bytes)
+              else scala.util.Try(graft.image.ImageCodec.decode(a.bytes)).toOption
+            val real: Option[MediaFeature] =
+              netpbm.orElse(graft.image.JdkImageCodec.decode(a.bytes)).map { img =>
                 val thumb = graft.image.ImageCodec.resizeBilinear(
                   graft.image.ImageCodec.toLuma(img), outW, outH)
                 MediaFeature(a.asset_id, a.kind, thumb.pixels, outW, outH, 1)
-              }.toOption
+              }
             real.getOrElse {
               val px = MediaKernels.decodeImageStub(a.bytes, a.width, a.height)
               MediaFeature(a.asset_id, a.kind,

@@ -73,9 +73,15 @@ object Sampling {
   def tokenBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
                           tokensCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // ROWS frame, explicitly: the default RANGE frame includes all ORDER
+    // BY peers at once, so a duplicate id (peer rows) would diverge from
+    // the ROWS-framed oracle SQL. Ids are unique by precondition, but the
+    // contract is structural this way (ADVICE r4).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("_run_tokens", sum(col(tokensCol)).over(w))
       .filter(col("_run_tokens") <= budget)
       .drop("_run_tokens")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.fixtures.{ImageGen, VideoGen}
+import graft.fixtures.{ImageGen, MixedImageGen, VideoGen}
 import graft.functions.GraftFunctions._
 
 /** Image-modality query surface: REAL uncompressed netpbm payloads
@@ -22,6 +22,8 @@ object ImageQueries {
     s"${ImageGen.tablePath(sf)}/*.parquet"
   def videosGlob(sf: String = "sf0.01"): String =
     s"${VideoGen.tablePath(sf)}/*.parquet"
+  def mixedGlob(sf: String = "sf0.01"): String =
+    s"${MixedImageGen.tablePath(sf)}/*.parquet"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -38,6 +40,40 @@ object ImageQueries {
         .select(col("image_id"),
           when(col("mean_luma") <= 0.1, lit("dark"))
             .when(col("mean_luma") >= 0.9, lit("bright"))
+            .as("verdict"))
+        .filter(col("verdict").isNotNull)
+        .orderBy("image_id")
+    }),
+
+    // COMPRESSED-image metadata from bytes alone (the r3/r4 verdicts'
+    // "library-free metadata path"): JPEG SOF marker walk, PNG IHDR, GIF
+    // screen descriptor, BMP info header, netpbm — no pixel decoded, no
+    // library used (graft.image.ImageMeta). The fixture interleaves all
+    // six formats with dimensions planted by id arithmetic; equality with
+    // the id-stated oracle proves every format's header parse recovers
+    // format, dimensions, channels and bit depth exactly.
+    "i2_image_meta" -> ((s, dir) => {
+      MixedImageGen.readImages(s, dir)
+        .select(col("image_id"), image_meta(col("bytes")).as("m"))
+        .select(col("image_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.channels").as("channels"), col("m.bit_depth").as("bit_depth"))
+        .orderBy("image_id")
+    }),
+
+    // COMPRESSED-image quality flagging through REAL pixel decode: the i1
+    // dark/bright discipline, but the payloads are JPEG/PNG/GIF/BMP (JDK
+    // decoder, no external jars) interleaved with netpbm — planted dark
+    // (<= 0.05) at idx%10==4 and bright (>= 0.95) at idx%10==9 must be
+    // recovered from DECODED PIXELS across every format; codec loss
+    // (JPEG quantization, GIF palette) moves the mean by < 0.02, an order
+    // of magnitude inside the thresholds.
+    "i3_compressed_quality" -> ((s, dir) => {
+      MixedImageGen.readImages(s, dir)
+        .select(col("image_id"), image_luma_mean(col("bytes")).as("mean_luma"))
+        .select(col("image_id"),
+          when(col("mean_luma") <= 0.12, lit("dark"))
+            .when(col("mean_luma") >= 0.88, lit("bright"))
             .as("verdict"))
         .filter(col("verdict").isNotNull)
         .orderBy("image_id")
@@ -79,5 +115,26 @@ object ImageQueries {
          |    THEN 'static' ELSE 'high_motion' END AS verdict
          |FROM read_parquet('${videosGlob(sf)}')
          |WHERE CAST(substr(video_id, 5, 8) AS INTEGER) % 20 IN (3, 13)
+         |ORDER BY 1""".stripMargin,
+    // The planting rules of MixedImageGen, stated from the id — the
+    // engine derives the same five columns from the BYTES (header walk).
+    "i2_image_meta" ->
+      s"""SELECT image_id,
+         |  CASE CAST(substr(image_id, 6, 8) AS INTEGER) % 6
+         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'pgm'
+         |    WHEN 3 THEN 'ppm' WHEN 4 THEN 'gif' ELSE 'bmp' END AS format,
+         |  16 + (CAST(substr(image_id, 6, 8) AS INTEGER) % 9) * 8 AS width,
+         |  12 + (CAST(substr(image_id, 6, 8) AS INTEGER) % 7) * 6 AS height,
+         |  CASE WHEN CAST(substr(image_id, 6, 8) AS INTEGER) % 6 = 2
+         |    THEN 1 ELSE 3 END AS channels,
+         |  8 AS bit_depth
+         |FROM read_parquet('${mixedGlob(sf)}')
+         |ORDER BY 1""".stripMargin,
+    "i3_compressed_quality" ->
+      s"""SELECT image_id,
+         |  CASE WHEN CAST(substr(image_id, 6, 8) AS INTEGER) % 10 = 4
+         |    THEN 'dark' ELSE 'bright' END AS verdict
+         |FROM read_parquet('${mixedGlob(sf)}')
+         |WHERE CAST(substr(image_id, 6, 8) AS INTEGER) % 10 IN (4, 9)
          |ORDER BY 1""".stripMargin)
 }

@@ -90,7 +90,24 @@ object ClipStreamJob {
     * maps to the same bucket unless the length straddles a bucket edge
     * (~trim/nBucket of clips ~= 4% at the defaults) — those are KEPT, the
     * benign direction, and collapse later in the batch `audioNearDupShift`
-    * pass which has the exact aligned-correlation verify. */
+    * pass which has the exact aligned-correlation verify.
+    *
+    * The coarse bucket also WIDENS the irreversible false-DROP surface
+    * (ADVICE r4): two DISTINCT clips sharing (sr_hz, f1, f2b) collide on
+    * the length key whenever their lengths fall in the same `nBucket`-wide
+    * bucket (vs exact-length equality when shiftRobust=false) — a 4096x
+    * larger organic-collision window, and a streaming drop has no verify
+    * stage to reject it. Turn shiftRobust on only when trimmed re-uploads
+    * are an actual ingest threat; for guaranteed-lossless dedup run the
+    * batch detectors instead (exact correlation verify, no false drops).
+    *
+    * CHECKPOINT COMPATIBILITY: the four key columns (sr_hz, nk, f1, f2b)
+    * ARE the dropDuplicatesWithinWatermark state schema — renaming any of
+    * them (r4 renamed n_samples -> nk when shiftRobust landed), changing
+    * their types, or toggling shiftRobust on an existing checkpoint fails
+    * the restart with a state-schema mismatch. Restarting across such a
+    * change needs a fresh checkpoint dir (the sink's id-level MERGE
+    * absorbs the reprocessing). */
   def audioDedupStream(clips: DataFrame, watermark: String = "30 seconds",
                        f2BucketHz: Int = 64, shiftRobust: Boolean = false,
                        nBucket: Int = 4096): DataFrame = {

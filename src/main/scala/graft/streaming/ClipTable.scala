@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   */
 final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int = 16,
     mergeOnRead: Boolean = false, gcGraceMs: Long = 300000L,
-    leaseTimeoutMs: Long = 600000L) {
+    leaseTimeoutMs: Long = 600000L, repairConflictPolicy: String = "fail") {
+  require(Seq("fail", "warn").contains(repairConflictPolicy),
+    s"repairConflictPolicy must be 'fail' or 'warn', got '$repairConflictPolicy'")
 
   private def dataDir: Path = Paths.get(root, "data")
   private def commitsDir: Path = Paths.get(root, "_commits")
@@ -107,6 +109,20 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
       // per-batch delta dir is OVERWRITTEN on replay (same batchId =>
       // same dir => fixed point); readers dedupe latest-batch-wins.
       incoming0.write.mode(SaveMode.Overwrite).parquet(deltaDir(batchId).toString)
+      // Repair-contract check AFTER the write, on a read-back of the
+      // just-written delta: checking the batch plan directly would
+      // execute the stateful upstream a second time (state stores would
+      // re-commit within one batch). On conflict under 'fail' the delta
+      // is removed before throwing — MOR readers list delta dirs
+      // unconditionally, so leaving it would expose the stale rows the
+      // contract exists to prevent.
+      if (conflictsWithRepairs(spark,
+          spark.read.parquet(deltaDir(batchId).toString), batchId)) {
+        if (repairConflictPolicy == "fail") {
+          deleteRecursively(deltaDir(batchId))
+          failRepairConflict(batchId)
+        } else warnRepairConflict(batchId)
+      }
       commit(batchId)
       return
     }
@@ -118,9 +134,58 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     // batch (correctness hazard + double work).
     val incoming = incoming0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // persisted => the conflict check is a cached-block scan, and on
+      // 'fail' the table has not been touched yet
+      if (conflictsWithRepairs(spark, incoming, batchId)) {
+        if (repairConflictPolicy == "fail") failRepairConflict(batchId)
+        else warnRepairConflict(batchId)
+      }
       mergePersisted(spark, incoming, batchId)
     } finally incoming.unpersist()
   }
+
+  // ------------------------------------------------- repair-key tracking
+  //
+  // repair() unconditionally wins the latest-wins tiebreak (RepairBand
+  // batch ids), so a LIVE-STREAM write to a repaired key afterwards would
+  // silently lose — forever. The contract ("only repair behind the
+  // watermark") is ENFORCED, not just documented (ADVICE r4): every
+  // repair records its key set under `_repairs/`, and every stream-band
+  // merge is checked against it — `repairConflictPolicy = "fail"`
+  // (default) aborts the batch loudly (replay hits the same wall until an
+  // operator either routes the new data through repair() or relaxes the
+  // policy); "warn" logs and proceeds, accepting the documented
+  // staleness. Cost: zero while `_repairs/` is empty (the normal state);
+  // after a repair, one broadcast semi-join probe per batch against the
+  // bounded repaired-key set.
+  //
+  // Crash window: the key sidecar is written after the repair's merge
+  // commits, so a crash between the two leaves repaired rows unrecorded —
+  // re-running the same repair (idempotent by design) completes the
+  // record. The sidecar is never GC'd: the precedence it tracks is
+  // permanent by construction.
+
+  private def repairKeysDir: Path = Paths.get(root, "_repairs")
+
+  private def conflictsWithRepairs(spark: SparkSession, incoming: DataFrame,
+                                   batchId: Long): Boolean = {
+    if (batchId >= ClipTable.RepairBand) return false
+    if (!nonEmptyDir(repairKeysDir)) return false
+    val repaired = spark.read.parquet(repairKeysDir.toString)
+    incoming.join(broadcast(repaired), keyCols, "leftsemi").limit(1).count() > 0
+  }
+
+  private def failRepairConflict(batchId: Long): Nothing =
+    throw new IllegalStateException(
+      s"stream batch $batchId writes to repaired key(s): repair-band rows " +
+        s"win the latest-wins tiebreak unconditionally, so these writes " +
+        s"would be silently stale. Route the correction through repair() " +
+        s"or construct the table with repairConflictPolicy=\"warn\".")
+
+  private def warnRepairConflict(batchId: Long): Unit =
+    org.slf4j.LoggerFactory.getLogger(classOf[ClipTable]).warn(
+      s"stream batch $batchId touches repaired key(s) at $root — its rows " +
+        s"for those keys are superseded by the repair band (stale reads)")
 
   /** Highest batch id this table has committed (repairs included); -1 for
     * an empty table. Commit markers are the source of truth — both merge
@@ -141,17 +206,24 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     * written for the same keys, and its delta directory can never collide
     * with (or be overwritten by) a replayed stream micro-batch.
     *
-    * CONTRACT: repair only key ranges the stream can no longer emit
-    * (behind its watermark — exactly the ranges that need out-of-band
-    * correction). A live-stream write to a repaired key would lose the
-    * latest-wins tiebreak to the repair band; keys ahead of the watermark
-    * belong to the stream, not to repairs. Repairs are idempotent
-    * (re-running one is a latest-wins fixed point) and stack (each takes
-    * the next id in the band, so a newer repair supersedes an older one).
-    * Returns the repair's batch id. */
+    * CONTRACT (ENFORCED — see the repair-key tracking section): repair
+    * only key ranges the stream can no longer emit (behind its watermark —
+    * exactly the ranges that need out-of-band correction). A live-stream
+    * write to a repaired key would lose the latest-wins tiebreak to the
+    * repair band, so every repair records its key set and later
+    * stream-band merges touching those keys fail loudly (or warn, per
+    * `repairConflictPolicy`) instead of going silently stale. Repairs are
+    * idempotent (re-running one is a latest-wins fixed point — and
+    * completes the key record if a crash interrupted it) and stack (each
+    * takes the next id in the band, so a newer repair supersedes an older
+    * one). Returns the repair's batch id. */
   def repair(recomputed: DataFrame): Long = synchronized {
     val id = math.max(ClipTable.RepairBand, maxCommittedBatchId() + 1)
     merge(recomputed, id)
+    // key record AFTER the merge commits: a crash between the two leaves
+    // rows unrecorded, fixed by re-running the (idempotent) repair
+    recomputed.select(keyCols.map(c => col(c)): _*).distinct()
+      .write.mode(SaveMode.Append).parquet(repairKeysDir.toString)
     id
   }
 

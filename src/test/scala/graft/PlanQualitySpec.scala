@@ -149,8 +149,14 @@ class PlanQualitySpec extends AnyFunSuite {
     * including inside the persisted candidate stage — carries the
     * forbidden payload columns. */
   private def candidateBucketCarriesOnly(name: String, keyHint: String,
-                                         forbidden: Set[String]): Unit = {
-    val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+                                         forbidden: Set[String]): Unit =
+    candidateBucketCarriesOnlyDf(SparkEntry.queries(name)(spark, sf), name,
+      keyHint, forbidden)
+
+  private def candidateBucketCarriesOnlyDf(df: org.apache.spark.sql.DataFrame,
+                                           name: String, keyHint: String,
+                                           forbidden: Set[String]): Unit = {
+    val qe = df.queryExecution
     val nodes = allPlanNodes(qe)
     val aggs = nodes.collect {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -221,14 +227,74 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"un-reduced binary shuffles:\n${offenders.mkString("\n")}")
   }
 
-  test("d2: no document text below the banded MinHash-LSH candidate bucket") {
-    candidateBucketCarriesOnly("d2_neardup_minhash", "bhash",
-      Set("text", "text_a", "text_b"))
+  // d2/d4 default to Rehydration.Auto, which picks the DIRECT join at
+  // fixture scale (payload stats far under DirectRehydrateMaxBytes) — the
+  // scale-path shape gates below therefore FORCE SemiJoin, the shape Auto
+  // takes on any real corpus, and a separate parity test pins the two
+  // strategies to identical output.
+  import graft.operators.Dedup
+  private def docsDf = spark.read.parquet(s"$sf/documents.parquet")
+  private def embDf = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("d2: no document text below the banded candidate bucket (SemiJoin shape)") {
+    candidateBucketCarriesOnlyDf(
+      Dedup.nearDupJaccard(docsDf, "text", "doc_id", threshold = 0.5,
+        rehydration = Dedup.Rehydration.SemiJoin),
+      "d2_semijoin", "bhash", Set("text", "text_a", "text_b"))
   }
 
-  test("d4: no embedding vectors below the multi-table LSH candidate bucket") {
-    candidateBucketCarriesOnly("d4_embedding_neardup", "bucket",
-      Set("v", "v_a", "v_b", "embedding"))
+  test("d4: no embedding vectors below the LSH candidate bucket (SemiJoin shape)") {
+    candidateBucketCarriesOnlyDf(
+      Dedup.embeddingNearDup(embDf, "embedding", "vec_id", threshold = 0.5,
+        nBits = 4, rehydration = Dedup.Rehydration.SemiJoin),
+      "d4_semijoin", "bucket", Set("v", "v_a", "v_b", "embedding"))
+  }
+
+  test("d2/d4: Direct and SemiJoin rehydration produce identical output") {
+    import org.apache.spark.sql.functions.col
+    // plant exact twins under fresh ids so the pair set is non-empty
+    val docsTw = docsDf.unionByName(
+      docsDf.limit(20).withColumn("doc_id", col("doc_id") + 1000000))
+    val embTw = embDf.unionByName(
+      embDf.limit(20).withColumn("vec_id", col("vec_id") + 1000000))
+    for ((mk, keyCols) <- Seq(
+        ((r: Dedup.Rehydration) => Dedup.nearDupJaccard(
+          docsTw, "text", "doc_id", threshold = 0.5, rehydration = r),
+          Seq("id_a", "id_b", "jaccard_x1e4")),
+        ((r: Dedup.Rehydration) => Dedup.embeddingNearDup(
+          embTw, "embedding", "vec_id", threshold = 0.5, nBits = 4,
+          rehydration = r),
+          Seq("id_a", "id_b", "cos_x1e6")))) {
+      val direct = mk(Dedup.Rehydration.Direct).orderBy(keyCols.map(
+        org.apache.spark.sql.functions.col): _*).collect().toSeq
+      val semi = mk(Dedup.Rehydration.SemiJoin).orderBy(keyCols.map(
+        org.apache.spark.sql.functions.col): _*).collect().toSeq
+      assert(direct.nonEmpty, "parity test needs a non-empty pair set")
+      assert(direct == semi, "Direct vs SemiJoin rehydration diverged")
+    }
+  }
+
+  test("d2/d4: Auto picks Direct at fixture scale (no extra corpus scans)") {
+    // Auto == the cheap one-pass plan when the payload is small: no
+    // LeftSemi join anywhere (that shape belongs to the reduction), and
+    // no persisted candidate stage. LSH params differ from the SemiJoin
+    // tests above so the candidate sub-plan cannot alias their persisted
+    // stage through the canonicalized-plan cache.
+    for (df <- Seq(
+        Dedup.nearDupJaccard(docsDf, "text", "doc_id", threshold = 0.5,
+          bands = 8),
+        Dedup.embeddingNearDup(embDf, "embedding", "vec_id",
+          threshold = 0.5, nBits = 8))) {
+      val semis = allPlanNodes(df.queryExecution).collect {
+        case b: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
+      }
+      assert(semis.isEmpty, s"Auto at fixture scale kept the semi-join reduction")
+      val cached = df.queryExecution.optimizedPlan.collect {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryRelation => im
+      }
+      assert(cached.isEmpty, "Auto at fixture scale kept the persisted stage")
+    }
   }
 
   test("s2: no vectors below the ANN bucket-probe join") {

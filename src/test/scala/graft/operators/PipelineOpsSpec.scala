@@ -150,6 +150,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().forall(_._2 == 1L))
   }
 
+  test("components: convergence count rides the checkpoint job (1 job/round)") {
+    // r4 paid 2 ACTIONS per round (eager localCheckpoint + a cached-scan
+    // count()); the Observation now carries the changed-count on the
+    // checkpoint action itself. Raw Spark-job counts are AQE-stage
+    // granular (one propagation round materializes several query-stage
+    // jobs), so the crisp regression guard is: components must run ZERO
+    // `count` actions — counted via a QueryExecutionListener, which fires
+    // once per Dataset action with its name.
+    val counts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "count") counts.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val got = Dedup.components(longChain, maxIters = 40)
+        .as[(Long, Long)].collect()
+      assert(got.forall(_._2 == 1L))
+      Thread.sleep(1500) // listener bus is async
+      assert(counts.get() == 0, s"components ran ${counts.get()} count " +
+        s"actions over ~29 rounds — the per-round convergence count is back")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("simhash near-dup finds exact copies at hamming 0") {
     val pairs = Dedup.simhashNearDup(docsAug, "text", "doc_id", maxHamming = 3)
     // original -> its exact copy only (copy-of-copy pairs are separate)

@@ -79,6 +79,43 @@ class BackfillSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-band merge to a repaired key fails loudly (both modes)") {
+    // ADVICE r4 (medium): the 'only repair behind the watermark' contract
+    // was documented but unenforced — a violating stream write yielded
+    // silently stale reads. Now it aborts the batch (default policy).
+    for (mor <- Seq(true, false)) {
+      val dir = Files.createTempDirectory(s"tbl-guard-$mor").toString
+      val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = mor)
+      t.merge(Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0)
+      t.repair(Seq(("b", 20)).toDF("k", "v"))
+      assert(rows(t) == Map("a" -> 1, "b" -> 20))
+      // stream write to the repaired key: loud failure, table unchanged
+      val e = intercept[IllegalStateException] {
+        t.merge(Seq(("b", 999), ("c", 3)).toDF("k", "v"), 1)
+      }
+      assert(e.getMessage.contains("repair"))
+      assert(rows(t) == Map("a" -> 1, "b" -> 20), s"mor=$mor leaked stale rows")
+      // untouched keys still merge normally
+      t.merge(Seq(("c", 3)).toDF("k", "v"), 2)
+      assert(rows(t) == Map("a" -> 1, "b" -> 20, "c" -> 3))
+      // re-running the repair itself stays legal (repair-band skips the check)
+      t.repair(Seq(("b", 21)).toDF("k", "v"))
+      assert(rows(t) == Map("a" -> 1, "b" -> 21, "c" -> 3))
+    }
+  }
+
+  test("warn policy proceeds; repair still wins the tiebreak") {
+    val dir = Files.createTempDirectory("tbl-guard-warn").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true,
+      repairConflictPolicy = "warn")
+    t.merge(Seq(("a", 1)).toDF("k", "v"), 0)
+    t.repair(Seq(("a", 10)).toDF("k", "v"))
+    t.merge(Seq(("a", 999), ("b", 2)).toDF("k", "v"), 1) // warns, proceeds
+    // the non-conflicting key lands; the repaired key stays at the repair
+    // value — exactly the staleness the warn policy accepts
+    assert(rows(t) == Map("a" -> 10, "b" -> 2))
+  }
+
   test("repair supersedes bad stream rows in a COW table too") {
     val dir = Files.createTempDirectory("tbl-repair-cow").toString
     val t = ClipTable(dir, Seq("k"), numBuckets = 2)
