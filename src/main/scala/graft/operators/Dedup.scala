@@ -450,9 +450,11 @@ object Dedup {
     // spill at sf1 — at 100 TB it is a corpus-sized shuffle per side).
     // Broadcasting the candidate ID set (ids only, tiny) filters the
     // payload in its scan stage; only the ~|cands| surviving rows' bytes
-    // ever reach a join. For candidate sets too large to broadcast, the
-    // right primitive is a storage-bucketed (SPJ) join on the id — noted
-    // in BASELINE.md; candidate sets here are dup-rate-sized by design.
+    // ever reach a join. For candidate sets too large to broadcast whole,
+    // the storage-bucketed (SPJ-style) fallback is IMPLEMENTED as
+    // ClipTable.readForKeys — per-bucket broadcasts of |cands|/numBuckets
+    // each over dir-pruned bucket reads; candidate sets here are
+    // dup-rate-sized by design, so the single broadcast is the default.
     val payload = clips.select(col(idCol).as("id"),
       col(bytesCol).as("pbytes"), col(codecCol).as("pcodec"))
     def reduced(side: String) = payload

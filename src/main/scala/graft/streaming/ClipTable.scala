@@ -492,6 +492,45 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     Files.writeString(commitsDir.resolve(s"batch-$batchId"),
       java.time.Instant.now().toString)
 
+  /** Storage-bucketed (SPJ-style) candidate rehydration — the fallback for
+    * key sets beyond a single broadcast's ceiling (the last documented
+    * scale limit of the near-dup family: Dedup's semi-join reduction
+    * broadcasts the WHOLE candidate id set, fine to ~10^8 ids, not past).
+    * This table's layout already partitions by `bucket = crc32(key) %
+    * numBuckets`, so the join can be bucket-ALIGNED the way an Iceberg
+    * storage-partitioned join would: for each bucket, read ONLY that
+    * bucket's directory (file pruning, no table-wide scan) and semi-join
+    * it against ONLY that bucket's slice of the key set (an explicit
+    * broadcast of |keys|/numBuckets rows). No corpus-wide exchange exists
+    * anywhere in the plan — each per-bucket broadcast is numBuckets times
+    * smaller than the whole key set, so the viable key-set size scales
+    * linearly with numBuckets (spec: BucketedRehydrationSpec proves plan
+    * shape and output identity with auto-broadcast disabled).
+    *
+    * Returns the table rows whose key tuple appears in `keys` (COW layout
+    * only — MOR deltas are not bucket-partitioned until compaction folds
+    * them; compact first or read() + filter). `keys` is persisted here
+    * (referenced once per bucket); lifecycle follows the caller, as with
+    * Dedup's candidate stage. */
+  def readForKeys(spark: SparkSession, keys: DataFrame): DataFrame = {
+    require(!mergeOnRead,
+      "readForKeys needs the bucket-partitioned COW layout (MOR deltas are unbucketed)")
+    synchronized { recoverSwaps() }
+    val keyed = keys.select(keyCols.map(col): _*).distinct()
+      .withColumn("_kbucket", bucketOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = (0 until numBuckets).flatMap { b =>
+      val dir = bucketDir(b)
+      if (!nonEmptyDir(dir)) None
+      else Some(
+        spark.read.option("mergeSchema", "true").parquet(dir.toString)
+          .join(broadcast(keyed.filter(col("_kbucket") === b).drop("_kbucket")),
+            keyCols, "leftsemi"))
+    }
+    if (parts.isEmpty) spark.emptyDataFrame
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Current table contents (lineage columns included). MOR readers merge
     * the compacted base with all deltas, latest-batch-wins per key. */
   def read(spark: SparkSession): DataFrame = {
