@@ -88,6 +88,41 @@ case class ImageLumaMean(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** `video_meta(bytes) -> struct(codec, profile_idc, level_idc, width,
+  * height)` — LIBRARY-FREE video metadata: YUV4MPEG2 header parse (the
+  * real-decode container) or H.264 Annex-B SPS walk (Exp-Golomb,
+  * emulation-prevention removal, crop-exact dimensions — see
+  * graft.image.H264Meta; the video analog of `image_meta`). Null when
+  * neither claims the payload. Header-walk cost in the scan stage; no
+  * frame decoded. */
+case class VideoMetaExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"video_meta expects binary, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codec",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("profile_idc",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("level_idc",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("width",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("height",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_meta"
+  override def nullSafeEval(bytes: Any): Any =
+    graft.image.H264Meta.metaRow(bytes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = graft.image.H264Meta.metaRow($b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** `y4m_motion_stats(bytes) -> array<double>` — [n_frames, mean_luma,
   * mean |Δ frame-mean luma|] of an uncompressed YUV4MPEG2 payload in one
   * fused pass over the luma planes (chroma never read; see

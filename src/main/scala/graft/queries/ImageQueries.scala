@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.fixtures.{ImageGen, MixedImageGen, VideoGen}
+import graft.fixtures.{ImageGen, MixedImageGen, MixedVideoGen, VideoGen}
 import graft.functions.GraftFunctions._
 
 /** Image-modality query surface: REAL uncompressed netpbm payloads
@@ -24,6 +24,8 @@ object ImageQueries {
     s"${VideoGen.tablePath(sf)}/*.parquet"
   def mixedGlob(sf: String = "sf0.01"): String =
     s"${MixedImageGen.tablePath(sf)}/*.parquet"
+  def mixedVideoGlob(sf: String = "sf0.01"): String =
+    s"${MixedVideoGen.tablePath(sf)}/*.parquet"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -77,6 +79,24 @@ object ImageQueries {
             .as("verdict"))
         .filter(col("verdict").isNotNull)
         .orderBy("image_id")
+    }),
+
+    // COMPRESSED-video metadata from bytes alone — the video analog of
+    // i2: the fixture interleaves uncompressed YUV4MPEG2 with
+    // structurally valid H.264 Annex-B streams (SPS/PPS/SEI), and the
+    // engine recovers container, profile, level and CROP-EXACT
+    // dimensions via the library-free SPS walk (Exp-Golomb,
+    // emulation-prevention removal — graft.image.H264Meta). Dimensions
+    // are deliberately non-multiples of 16, so a parser that skips the
+    // frame-cropping arithmetic cannot match the oracle.
+    "v2_video_meta" -> ((s, dir) => {
+      MixedVideoGen.readVideos(s, dir)
+        .select(col("video_id"), video_meta(col("bytes")).as("m"))
+        .select(col("video_id"), col("m.codec").as("codec"),
+          col("m.profile_idc").as("profile_idc"),
+          col("m.level_idc").as("level_idc"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy("video_id")
     }),
 
     // Video TEMPORAL quality flagging: y4m luma planes reduced in the scan
@@ -136,5 +156,21 @@ object ImageQueries {
          |    THEN 'dark' ELSE 'bright' END AS verdict
          |FROM read_parquet('${mixedGlob(sf)}')
          |WHERE CAST(substr(image_id, 6, 8) AS INTEGER) % 10 IN (4, 9)
+         |ORDER BY 1""".stripMargin,
+    // MixedVideoGen's planting rules, stated from the id — the engine
+    // derives the same columns from the BYTES (y4m header / H.264 SPS).
+    "v2_video_meta" ->
+      s"""SELECT video_id,
+         |  CASE WHEN CAST(substr(video_id, 6, 8) AS INTEGER) % 2 = 0
+         |    THEN 'y4m' ELSE 'h264' END AS codec,
+         |  CASE WHEN CAST(substr(video_id, 6, 8) AS INTEGER) % 2 = 0 THEN 0
+         |    WHEN CAST(substr(video_id, 6, 8) AS INTEGER) % 4 = 1 THEN 66
+         |    ELSE 100 END AS profile_idc,
+         |  CASE WHEN CAST(substr(video_id, 6, 8) AS INTEGER) % 2 = 0 THEN 0
+         |    ELSE 30 + (CAST(substr(video_id, 6, 8) AS INTEGER) % 3) * 10
+         |    END AS level_idc,
+         |  160 + (CAST(substr(video_id, 6, 8) AS INTEGER) % 11) * 18 AS width,
+         |  90 + (CAST(substr(video_id, 6, 8) AS INTEGER) % 7) * 14 AS height
+         |FROM read_parquet('${mixedVideoGlob(sf)}')
          |ORDER BY 1""".stripMargin)
 }

@@ -37,13 +37,25 @@ object KillSoak {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Child classpath: compiled classes + the Spark jar dir (sbt runMain
-    * executes in a classloader, so java.class.path alone is not enough). */
+  /** Child classpath: a SNAPSHOT copy of the compiled classes (an sbt
+    * recompile mid-soak would otherwise rewrite class files under a
+    * launching child — observed as NoClassDefFoundError on kill attempt
+    * 8 of an early run) + the Spark jar dir (sbt runMain executes in a
+    * classloader, so java.class.path alone is not enough). */
   private def childClasspath: String = sys.env.getOrElse("SOAK_CLASSPATH", {
+    val src = Paths.get("/root/repo/target/scala-2.13/classes")
+    val snap = Files.createTempDirectory("soak-classes")
+    val s = Files.walk(src)
+    try s.forEach { p =>
+      val dst = snap.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
     val jars = Files.list(Paths.get("/opt/spark/jars"))
     val jarCp = try jars.iterator().asScala.map(_.toString).mkString(":")
       finally jars.close()
-    s"/root/repo/target/scala-2.13/classes:$jarCp"
+    s"$snap:$jarCp"
   })
 
   def main(args: Array[String]): Unit = {
@@ -55,8 +67,14 @@ object KillSoak {
 
     val spark = GraftSession.create("local[8]", 8, "graft-kill-soak")
     val staged = Files.createTempDirectory("soak-staged").toString
+    // persist before slicing: writeTimeOrdered filters the corpus once
+    // per slice, and without the cache every slice write would re-run
+    // the whole synthesis (slices × corpus generation)
     val df = graft.fixtures.ClipGen.clipsDf(spark, nClips)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
     writeTimeOrdered(spark, df, staged, slices)
+    df.unpersist()
     val expected = Windows.tumblingCounts(spark.read.parquet(staged))
       .orderBy("w_start_ms", "codec", "sr_hz").collect().map(_.toSeq).toSeq
 
