@@ -230,6 +230,8 @@ object Bench {
       if (needsImages) graft.fixtures.MixedImageGen.ensure(sparkGen, sfDir) else ""
     val mixedVideoPath =
       if (needsImages) graft.fixtures.MixedVideoGen.ensure(sparkGen, sfDir) else ""
+    val nearDupPath =
+      if (needsImages) graft.fixtures.NearDupImageGen.ensure(sparkGen, sfDir) else ""
     // BEST-OF-k (min) per query, k=2 default — single-shot times produced
     // phantom regressions three rounds running (r4: c10 +36%, c11 +52% on
     // untouched kernels; r3: q8/q9/s1 — all snapped back next round).
@@ -268,6 +270,7 @@ object Bench {
         if (name.startsWith("i") || name.startsWith("v")) {
           warmPageCache(imagesPath); warmPageCache(videosPath)
           warmPageCache(mixedPath); warmPageCache(mixedVideoPath)
+          warmPageCache(nearDupPath)
         }
         val t0 = System.nanoTime()
         fn(sparkGen, sfDir).write.format("noop").mode("overwrite").save()

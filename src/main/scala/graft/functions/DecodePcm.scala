@@ -336,6 +336,8 @@ object GraftFunctions {
 
   def video_meta(bytes: Column): Column = toColumn(VideoMetaExpr(toExpr(bytes)))
 
+  def image_dhash(bytes: Column): Column = toColumn(ImageDhash(toExpr(bytes)))
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def lang_id_ngram(text: Column): Column = toColumn(LangIdNgram(toExpr(text)))
   def rel_url(base: Column, rel: Column): Column =
@@ -388,6 +390,8 @@ object GraftFunctions {
       es => ImageLumaMean(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("video_meta",
       es => VideoMetaExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_dhash",
+      es => ImageDhash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_aligned_corr",
       es => PcmAlignedCorr(es(0), es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangId(es.head), "scala_udf")

@@ -88,6 +88,34 @@ case class ImageLumaMean(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** `image_dhash(bytes) -> bigint` — 64-bit perceptual difference-hash of
+  * ANY supported image payload (netpbm direct; JPEG/PNG/GIF/BMP via the
+  * JDK decoder): decode -> luma -> 9x8 bilinear thumb -> neighbor
+  * comparisons (graft.image.ImageHash). The scan-stage signature behind
+  * cross-format image near-dup — only (id, hash) rides the candidate
+  * shuffle. Null when undecodable. */
+case class ImageDhash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"image_dhash expects binary, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dhash"
+  override def nullSafeEval(bytes: Any): Any =
+    graft.image.ImageHash.dhashOrNull(bytes.asInstanceOf[Array[Byte]]) match {
+      case null => null
+      case v => v.longValue()
+    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""java.lang.Long ${ev.value}_boxed = graft.image.ImageHash.dhashOrNull($b);
+         |${ev.isNull} = ${ev.value}_boxed == null;
+         |${ev.value} = ${ev.isNull} ? 0L : ${ev.value}_boxed.longValue();""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** `video_meta(bytes) -> struct(codec, profile_idc, level_idc, width,
   * height)` — LIBRARY-FREE video metadata: YUV4MPEG2 header parse (the
   * real-decode container) or H.264 Annex-B SPS walk (Exp-Golomb,

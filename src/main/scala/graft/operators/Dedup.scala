@@ -229,13 +229,32 @@ object Dedup {
     * buckets = the 4 16-bit chunks of the signature (pigeonhole: hamming
     * <= 3 => at least one identical chunk). */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), sim_hash(col(textCol)).as("sig"))
-    val chunked = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "ckey")))
-    // GroupBy-bucket pairing (single sim_hash scan — see minhashLsh).
+                     maxHamming: Int = 3): DataFrame =
+    hashNearDup(
+      df.select(col(idCol).as("id"), sim_hash(col(textCol)).as("sig")),
+      maxHamming)
+
+  /** Near-dup pairs over ANY 64-bit signature column (`sigs` = (id, sig))
+    * within `maxHamming` bits — shared by text SimHash (d3) and image
+    * dHash (i4). Candidate buckets are the maxHamming+1 chunks of the
+    * signature (pigeonhole: any pair within hamming h shares at least one
+    * of h+1 identical chunks — candidate generation is complete, never
+    * all-pairs); the exact hamming filter inside the group provides
+    * precision. One signature scan, one chunk-keyed shuffle of (id, sig)
+    * rows — the payload the signature came from never rides anything. */
+  def hashNearDup(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val w = (64 + nChunks - 1) / nChunks
+    val chunks = (0 until nChunks).map { i =>
+      val width = math.min(w, 64 - i * w)
+      shiftrightunsigned(col("sig"), i * w)
+        .bitwiseAND(lit(if (width >= 64) -1L else (1L << width) - 1))
+    }
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array(chunks: _*)).as(Seq("chunk", "ckey")))
+    // GroupBy-bucket pairing (single signature scan — see minhashLsh).
     chunked.groupBy(col("chunk"), col("ckey"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
       .select(col("ckey"), explode(col("xs")).as("x"), col("xs"))

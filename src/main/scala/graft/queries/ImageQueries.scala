@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.fixtures.{ImageGen, MixedImageGen, MixedVideoGen, VideoGen}
+import graft.fixtures.{ImageGen, MixedImageGen, MixedVideoGen, NearDupImageGen, VideoGen}
 import graft.functions.GraftFunctions._
 
 /** Image-modality query surface: REAL uncompressed netpbm payloads
@@ -26,6 +26,8 @@ object ImageQueries {
     s"${MixedImageGen.tablePath(sf)}/*.parquet"
   def mixedVideoGlob(sf: String = "sf0.01"): String =
     s"${MixedVideoGen.tablePath(sf)}/*.parquet"
+  def nearDupGlob(sf: String = "sf0.01"): String =
+    s"${NearDupImageGen.tablePath(sf)}/*.parquet"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -79,6 +81,24 @@ object ImageQueries {
             .as("verdict"))
         .filter(col("verdict").isNotNull)
         .orderBy("image_id")
+    }),
+
+    // CROSS-FORMAT image near-dup: the same picture re-encoded through a
+    // different codec (JPEG loss included) is found from the BYTES alone
+    // via the perceptual dHash computed in the scan stage + the shared
+    // chunk-bucket pairing (Dedup.hashNearDup, pigeonhole-complete at
+    // hamming <= 8; only (id, 64-bit sig) rides the shuffle — never
+    // pixels). Planted twins at idx%10==7 with format rotated; the
+    // populations are separated (twins <= 6 bits, organic >= 12 —
+    // ImageHashSpec), so equality with the id-stated oracle is recall
+    // AND precision 1.0.
+    "i4_image_neardup" -> ((s, dir) => {
+      graft.operators.Dedup.hashNearDup(
+        NearDupImageGen.readImages(s, dir)
+          .select(col("image_id").as("id"), image_dhash(col("bytes")).as("sig")),
+        maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
     }),
 
     // COMPRESSED-video metadata from bytes alone — the video analog of
@@ -157,6 +177,14 @@ object ImageQueries {
          |FROM read_parquet('${mixedGlob(sf)}')
          |WHERE CAST(substr(image_id, 6, 8) AS INTEGER) % 10 IN (4, 9)
          |ORDER BY 1""".stripMargin,
+    // NearDupImageGen's planted twin set, stated from the id — the
+    // engine recovers it from pixels across codecs.
+    "i4_image_neardup" ->
+      s"""SELECT image_id AS id_a, image_id || '-t' AS id_b
+         |FROM read_parquet('${nearDupGlob(sf)}')
+         |WHERE image_id NOT LIKE '%-t'
+         |  AND CAST(substr(image_id, 6, 8) AS INTEGER) % 10 = 7
+         |ORDER BY 1, 2""".stripMargin,
     // MixedVideoGen's planting rules, stated from the id — the engine
     // derives the same columns from the BYTES (y4m header / H.264 SPS).
     "v2_video_meta" ->
