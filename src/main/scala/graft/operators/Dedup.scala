@@ -242,9 +242,11 @@ object Dedup {
     * all-pairs); the exact hamming filter inside the group provides
     * precision. One signature scan, one chunk-keyed shuffle of (id, sig)
     * rows — the payload the signature came from never rides anything. */
-  def hashNearDup(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hashNearDup(sigs: DataFrame, maxHamming: Int = 3,
+                  salts: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val nChunks = maxHamming + 1
     val w = (64 + nChunks - 1) / nChunks
     val chunks = (0 until nChunks).map { i =>
@@ -255,15 +257,46 @@ object Dedup {
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array(chunks: _*)).as(Seq("chunk", "ckey")))
     // GroupBy-bucket pairing (single signature scan — see minhashLsh).
-    chunked.groupBy(col("chunk"), col("ckey"))
-      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
-      .select(col("ckey"), explode(col("xs")).as("x"), col("xs"))
-      .select(col("x"), explode(filter(col("xs"), y =>
-        col("ckey").isNotNull && col("x.id") < y("id"))).as("y"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("int").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    // `salts` > 1 engages hot-bucket CELL pairing — a corpus with many
+    // identical signatures (exact-dup images, boilerplate text) funnels
+    // one (chunk, ckey) bucket into a single task; the cell construction
+    // spreads it over salts(salts+1)/2 tasks with a provably identical
+    // pair set (see audioNearDupShift, same scheme, AudioSkewSpec).
+    val pairs =
+      if (salts == 1)
+        chunked.groupBy(col("chunk"), col("ckey"))
+          .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+          .select(col("ckey"), explode(col("xs")).as("x"), col("xs"))
+          .select(col("x"), explode(filter(col("xs"), y =>
+            col("ckey").isNotNull && col("x.id") < y("id"))).as("y"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+            bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("int").as("hamming"))
+      else {
+        val withCells = chunked
+          .withColumn("_s", pmod(hash(col("id")), lit(salts)).cast("int"))
+          .withColumn("_cell", explode(concat(
+            transform(sequence(col("_s"), lit(salts - 1)),
+              j => struct(col("_s").as("a"), j.as("b"))),
+            transform(
+              when(col("_s") > 0, sequence(lit(0), col("_s") - 1))
+                .otherwise(array().cast("array<int>")),
+              i => struct(i.as("a"), col("_s").as("b"))))))
+          .withColumn("_ca", col("_cell.a"))
+          .withColumn("_cb", col("_cell.b"))
+        withCells.groupBy(col("chunk"), col("ckey"), col("_ca"), col("_cb"))
+          .agg(collect_list(struct(col("id"), col("sig"), col("_s"))).as("xs"))
+          .select(col("ckey"), col("_ca"), col("_cb"),
+            explode(col("xs")).as("x"), col("xs"))
+          .filter(col("x._s") === col("_ca"))
+          .select(col("x"), explode(filter(col("xs"), y =>
+            col("ckey").isNotNull &&
+              y("_s") === col("_cb") &&
+              (col("_ca") =!= col("_cb") || col("x.id") < y("id")))).as("y"))
+          .select(least(col("x.id"), col("y.id")).as("id_a"),
+            greatest(col("x.id"), col("y.id")).as("id_b"),
+            bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("int").as("hamming"))
+      }
+    pairs.distinct().filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-dup via quantized cosine over MULTI-TABLE hyperplane-

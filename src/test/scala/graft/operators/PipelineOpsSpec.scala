@@ -180,6 +180,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("hashNearDup salted cell pairing: identical output on a hot-bucket corpus") {
+    // exact-dup-heavy corpus: 80 rows share ONE signature (the hot
+    // bucket the ROADMAP flagged for image corpora), 40 rows are random
+    val hot = (0L until 80L).map(i => (f"h$i%03d", 0x5A5A5A5A5A5AL))
+    val rnd = (0L until 40L).map(i =>
+      (f"r$i%03d", graft.audio.AudioSynth.mix64(0xFACE + i)))
+    val sigs = (hot ++ rnd).toDF("id", "sig")
+    val plain = Dedup.hashNearDup(sigs, maxHamming = 3)
+      .as[(String, String, Int)].collect().toSet
+    val salted = Dedup.hashNearDup(sigs, maxHamming = 3, salts = 8)
+      .as[(String, String, Int)].collect().toSet
+    assert(plain.nonEmpty && salted == plain,
+      s"missing: ${plain.diff(salted).take(5)}, extra: ${salted.diff(plain).take(5)}")
+    // hot group of 80 pairs all-to-all: 3160 pairs at hamming 0
+    assert(plain.count(_._3 == 0) == 80 * 79 / 2)
+    // the candidate aggregation is keyed by the salt cells
+    val aggs = Dedup.hashNearDup(sigs, maxHamming = 3, salts = 8)
+      .queryExecution.analyzed.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "_ca")) => a
+      }
+    assert(aggs.nonEmpty, "no cell-keyed candidate aggregation")
+    // determinism under repartitioning
+    val again = Dedup.hashNearDup(sigs.repartition(11), maxHamming = 3, salts = 8)
+      .as[(String, String, Int)].collect().toSet
+    assert(again == plain)
+  }
+
   test("simhash near-dup finds exact copies at hamming 0") {
     val pairs = Dedup.simhashNearDup(docsAug, "text", "doc_id", maxHamming = 3)
     // original -> its exact copy only (copy-of-copy pairs are separate)
