@@ -169,6 +169,16 @@ object DocQueries {
       Dedup.components(pairs).orderBy("id")
     }),
 
+    // Same canonicalization, computed by alternating large-star/small-star
+    // contraction (O(log n) rounds vs min-label's O(diameter) — the deep-
+    // graph variant) against the SAME RECURSIVE-closure oracle: both
+    // algorithms must land the identical (id, min-reachable-id) labeling.
+    "d6_dup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.nearDupJaccard(augmented(s, dir), "text", "doc_id",
+        threshold = 0.5, k = 32, bands = 16)
+      Dedup.componentsStar(pairs).orderBy("id")
+    }),
+
     // SimHash near-dup, fully oracled: portable token hash makes the 64-bit
     // signature reproducible in SQL; chunk-bucket recall at hamming<=3 is
     // COMPLETE by pigeonhole, so the engine pair set equals the oracle's
@@ -323,6 +333,24 @@ object DocQueries {
   // the inner JOIN would drop such docs. Holds for the driver fixture
   // (min 10 tokens at every SF, checked 2026-08-16); revisit if the
   // documents table ever gains micro-docs.
+  // RECURSIVE transitive closure over the SAME exact pair set d2 oracles:
+  // every node's canonical id = the minimum id reachable through the dup
+  // graph — shared by d5 (min-label propagation) and d6 (star
+  // contraction), which must both match it exactly.
+  private lazy val dupClustersOracleSql: String =
+    s"""WITH RECURSIVE $augmentedSql,
+       |${tokSql("aug")},
+       |$jacPairsSql,
+       |prs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+       |          UNION SELECT id_b, id_a FROM prs),
+       |reach(id, m) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m)
+       |SELECT id, min(m) AS canonical_id FROM reach GROUP BY id
+       |ORDER BY id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t2_lang_fingerprints" ->
       s"""WITH ${tokSql("documents")},
@@ -379,19 +407,11 @@ object DocQueries {
     // oracles: every node's canonical id = the minimum id reachable
     // through the dup graph — must equal the engine's iterative min-label
     // propagation exactly.
-    "d5_dup_clusters" ->
-      s"""WITH RECURSIVE $augmentedSql,
-         |${tokSql("aug")},
-         |$jacPairsSql,
-         |prs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |          UNION SELECT id_b, id_a FROM prs),
-         |reach(id, m) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m)
-         |SELECT id, min(m) AS canonical_id FROM reach GROUP BY id
-         |ORDER BY id""".stripMargin,
+    "d5_dup_clusters" -> dupClustersOracleSql,
+    // d6 runs the star-contraction algorithm against the SAME closure
+    // oracle — an independent SQL derivation both engine algorithms must
+    // match exactly.
+    "d6_dup_clusters_star" -> dupClustersOracleSql,
     "d3_neardup_simhash" ->
       s"""WITH $augmentedSql,
          |${tokSql("aug")},

@@ -180,6 +180,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("componentsStar: same labeling as components; log rounds on a deep chain") {
+    // identical output contract on the mixed fixture (chain + triangle +
+    // isolated pair), deterministic under partitioning
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val want = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val got = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(got == want)
+    val again = Dedup.componentsStar(pairs.repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // the algorithmic claim, asserted through the loud-convergence guard:
+    // a 64-node chain is diameter 63 (min-label needs 63 rounds — the
+    // existing components test shows maxIters=3 fails a 29-chain), but
+    // star contraction must finish within 10 rounds (~log2 + slack)
+    val chain64 = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val starLabels = Dedup.componentsStar(chain64, maxIters = 10)
+      .as[(Long, Long)].collect()
+    assert(starLabels.length == 64 && starLabels.forall(_._2 == 1L))
+    assert(Dedup.components(chain64, maxIters = 70)
+      .as[(Long, Long)].collect().toMap == starLabels.toMap)
+    // self-pairs are dropped, not self-edges in the contraction
+    val selfy = Seq((7L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    assert(Dedup.componentsStar(selfy).as[(Long, Long)].collect().toMap ==
+      Map(8L -> 8L, 9L -> 8L))
+  }
+
+  test("componentsStar: agrees with components on the real near-dup pair graph") {
+    val pairs = Dedup.nearDupJaccard(docsAug, "text", "doc_id", threshold = 0.5)
+    val a = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val b = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(a.nonEmpty && b == a)
+  }
+
   test("hashNearDup salted cell pairing: identical output on a hot-bucket corpus") {
     // exact-dup-heavy corpus: 80 rows share ONE signature (the hot
     // bucket the ROADMAP flagged for image corpora), 40 rows are random
