@@ -112,6 +112,10 @@ object TextOps {
         "sans réponse vaut encore la peine, parce qu'y réfléchir montre " +
         "ce que l'on croit."))
 
+    /** The seed corpus, exposed for the LangProfile.fit parity spec (the
+      * distributed trainer must reproduce these profiles exactly). */
+    def seedCorpus: Seq[(String, String)] = seeds
+
     /** Normalize: lowercase, non-letters -> single spaces, padded. */
     def normalize(text: String): String = {
       val sb = new java.lang.StringBuilder(text.length + 2)

@@ -97,6 +97,19 @@ object DocQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // TRAINED language-ID profiles (Cavnar-Trenkle fit over the labeled
+    // corpus — the ROADMAP's "profile tables from a dataset" item): the
+    // full (lang, gram, rank, n) profile table is oracled — normalize,
+    // trigram extraction, counting, and the (count desc, gram asc) rank
+    // tie-break all reproduced in SQL. The distributed trainer is
+    // additionally parity-pinned to the expression path's Java tokenizer
+    // (PipelineOpsSpec: fit on the embedded seeds == LangProfiles.profiles
+    // bit-for-bit; classify == langIdNgram on every sentence class).
+    "t9_lang_profiles" -> ((s, dir) => {
+      graft.operators.LangProfile.fit(docs(s, dir), "text", "lang")
+        .orderBy("lang", "rank")
+    }),
+
     // Language-ID heuristic + simhash + winnowing fingerprint. All three
     // are fully oracled: the token/shingle hash is the oracle-portable md5
     // lower half (== DuckDB md5_number_lower), signatures/fingerprints are
@@ -453,6 +466,30 @@ object DocQueries {
         |  PARTITION BY lang
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
         |ORDER BY lang, doc_id""".stripMargin,
+    // Cavnar-Trenkle profile TRAINING reproduced in SQL: pad-normalized
+    // text, character trigrams (middle-space grams dropped), counts,
+    // 0-based rank with the (count desc, gram asc) tie-break, truncated
+    // to the 300-gram profile. Column "rank" quoted (SQL keyword).
+    "t9_lang_profiles" ->
+      """WITH norm AS (
+        |  SELECT lang,
+        |    CASE WHEN trim(regexp_replace(lower(substr(text, 1, 4096)),
+        |                    '[^\p{L}]+', ' ', 'g'), ' ') = ''
+        |         THEN ' '
+        |         ELSE ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+        |                    '[^\p{L}]+', ' ', 'g'), ' ') || ' '
+        |    END AS s
+        |  FROM documents),
+        |grams AS (
+        |  SELECT lang, substr(s, i, 3) AS gram
+        |  FROM norm, LATERAL (SELECT unnest(generate_series(1, length(s) - 2)) AS i) g
+        |  WHERE substr(s, i + 1, 1) != ' '),
+        |cnt AS (SELECT lang, gram, count(*) AS n FROM grams GROUP BY 1, 2),
+        |rk AS (SELECT lang, gram, n,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) - 1 AS "rank"
+        |  FROM cnt)
+        |SELECT lang, gram, "rank", n FROM rk WHERE "rank" < 300
+        |ORDER BY lang, "rank"""".stripMargin,
     "t8_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -60,6 +60,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(TextOps.langIdNgram("12345 --- !!!") == "und")
   }
 
+  test("LangProfile.fit reproduces the embedded seed profiles bit-for-bit") {
+    import graft.functions.TextOps.LangProfiles
+    val seedsDf = LangProfiles.seedCorpus.toDF("lang", "text")
+    val fitted = LangProfile.fit(seedsDf, "text", "lang")
+    val got: Map[String, Map[String, Long]] = fitted
+      .select("lang", "gram", "rank").as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val want: Map[String, Map[String, Long]] =
+      LangProfiles.languages.zip(LangProfiles.profiles).map { case (l, p) =>
+        import scala.jdk.CollectionConverters._
+        l -> p.asScala.map { case (g, r) => g -> r.longValue() }.toMap
+      }.toMap
+    assert(got.keySet == want.keySet)
+    for (l <- want.keySet)
+      assert(got(l) == want(l), s"profile mismatch for $l")
+  }
+
+  test("LangProfile.classify matches langIdNgram on every sentence class") {
+    import graft.functions.TextOps.LangProfiles
+    val seedsDf = LangProfiles.seedCorpus.toDF("lang", "text")
+    val fitted = LangProfile.fit(seedsDf, "text", "lang")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sentences = Seq(
+      "my brother plays football every sunday afternoon near our house",
+      "green apples taste better when slightly cold",
+      "mi hermano juega al fútbol todos los domingos por la tarde",
+      "las manzanas verdes saben mejor cuando están un poco frías",
+      "mein bruder spielt jeden sonntagnachmittag fußball im park",
+      "grüne äpfel schmecken besser, wenn sie etwas kälter sind",
+      "mon frère joue au football tous les dimanches après-midi",
+      "les pommes vertes ont meilleur goût quand elles sont fraîches",
+      "今天天气很好我们去公园散步吧",           // CJK pre-gate
+      "сегодня хорошая погода и мы идём гулять в парк", // Cyrillic pre-gate
+      "",                                       // empty -> und
+      "12345 --- !!!",                          // no letters -> und
+      "ab",                                     // <3 letters -> und
+      "xq zq jq vq kq wq")                      // letters but out-of-profile
+    val docs = sentences.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("sid", "text")
+    val preds = LangProfile.classify(docs, "text", "sid", fitted,
+        langPriority = LangProfiles.languages.toSeq)
+      .as[(Long, String)].collect().toMap
+    sentences.zipWithIndex.foreach { case (s, i) =>
+      assert(preds(i.toLong) == TextOps.langIdNgram(s),
+        s"'$s': classify=${preds(i.toLong)} langIdNgram=${TextOps.langIdNgram(s)}")
+    }
+    // and the distributed path is deterministic under partitioning
+    val again = LangProfile.classify(docs.repartition(5), "text", "sid",
+        fitted, langPriority = LangProfiles.languages.toSeq)
+      .as[(Long, String)].collect().toMap
+    assert(again == preds)
+    fitted.unpersist()
+  }
+
   test("simhash: identical texts collide, near texts are close, far texts far") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val b = a + " appended"
