@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, LangProfile, Similarity}
 
 /** Training-data pipeline operators over the driver's documents/embeddings
   * tables: text analysis, dedup (exact + MinHash-LSH + SimHash + embedding
@@ -108,6 +108,18 @@ object DocQueries {
     "t9_lang_profiles" -> ((s, dir) => {
       graft.operators.LangProfile.fit(docs(s, dir), "text", "lang")
         .orderBy("lang", "rank")
+    }),
+
+    // Trained-profile CLASSIFICATION, fully oracled end-to-end: train on
+    // the labeled corpus, classify the same corpus — the out-of-place
+    // distance, missing-gram penalty, (dist, lang) argmin tie-break,
+    // script pre-gates and the all-out-of-profile confidence gate are all
+    // reproduced in SQL. Everything is integer arithmetic, so the match
+    // is exact, not approximate.
+    "t10_lang_classify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prof = LangProfile.fit(d, "text", "lang")
+      LangProfile.classify(d, "text", "doc_id", prof).orderBy("doc_id")
     }),
 
     // Language-ID heuristic + simhash + winnowing fingerprint. All three
@@ -364,6 +376,28 @@ object DocQueries {
        |SELECT id, min(m) AS canonical_id FROM reach GROUP BY id
        |ORDER BY id""".stripMargin
 
+  // Shared Cavnar-Trenkle CTEs (t9 training, t10 classification):
+  // pad-normalized text per doc, language-level trigram counts, 0-based
+  // rank with the (count desc, gram asc) tie-break.
+  private lazy val langProfCtes: String =
+    """norm AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN trim(regexp_replace(lower(substr(text, 1, 4096)),
+      |                    '[^\p{L}]+', ' ', 'g'), ' ') = ''
+      |         THEN ' '
+      |         ELSE ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
+      |                    '[^\p{L}]+', ' ', 'g'), ' ') || ' '
+      |    END AS s
+      |  FROM documents),
+      |grams AS (
+      |  SELECT lang, substr(s, i, 3) AS gram
+      |  FROM norm, LATERAL (SELECT unnest(generate_series(1, length(s) - 2)) AS i) g
+      |  WHERE substr(s, i + 1, 1) != ' '),
+      |cnt AS (SELECT lang, gram, count(*) AS n FROM grams GROUP BY 1, 2),
+      |rk AS (SELECT lang, gram, n,
+      |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) - 1 AS "rank"
+      |  FROM cnt)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t2_lang_fingerprints" ->
       s"""WITH ${tokSql("documents")},
@@ -471,25 +505,52 @@ object DocQueries {
     // 0-based rank with the (count desc, gram asc) tie-break, truncated
     // to the 300-gram profile. Column "rank" quoted (SQL keyword).
     "t9_lang_profiles" ->
-      """WITH norm AS (
-        |  SELECT lang,
-        |    CASE WHEN trim(regexp_replace(lower(substr(text, 1, 4096)),
-        |                    '[^\p{L}]+', ' ', 'g'), ' ') = ''
-        |         THEN ' '
-        |         ELSE ' ' || trim(regexp_replace(lower(substr(text, 1, 4096)),
-        |                    '[^\p{L}]+', ' ', 'g'), ' ') || ' '
-        |    END AS s
-        |  FROM documents),
-        |grams AS (
-        |  SELECT lang, substr(s, i, 3) AS gram
-        |  FROM norm, LATERAL (SELECT unnest(generate_series(1, length(s) - 2)) AS i) g
-        |  WHERE substr(s, i + 1, 1) != ' '),
-        |cnt AS (SELECT lang, gram, count(*) AS n FROM grams GROUP BY 1, 2),
-        |rk AS (SELECT lang, gram, n,
-        |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) - 1 AS "rank"
-        |  FROM cnt)
-        |SELECT lang, gram, "rank", n FROM rk WHERE "rank" < 300
-        |ORDER BY lang, "rank"""".stripMargin,
+      s"""WITH $langProfCtes
+         |SELECT lang, gram, "rank", n FROM rk WHERE "rank" < 300
+         |ORDER BY lang, "rank"""".stripMargin,
+    // Trained-profile classification end-to-end: same profile CTEs, plus
+    // per-doc ranked grams, out-of-place distance with the missing-gram
+    // penalty (= 300), (dist, lang) argmin, script pre-gates and the
+    // all-out-of-profile confidence gate. Integer arithmetic throughout.
+    "t10_lang_classify" ->
+      s"""WITH $langProfCtes,
+         |prof AS (SELECT lang, gram, "rank" AS pr FROM rk WHERE "rank" < 300),
+         |langs AS (SELECT DISTINCT lang FROM prof),
+         |dgrams AS (
+         |  SELECT doc_id, substr(s, i, 3) AS gram
+         |  FROM norm, LATERAL (SELECT unnest(generate_series(1, length(s) - 2)) AS i) g
+         |  WHERE substr(s, i + 1, 1) != ' '),
+         |dcnt AS (SELECT doc_id, gram, count(*) AS dn FROM dgrams GROUP BY 1, 2),
+         |dprof AS (
+         |  SELECT doc_id, gram, dr FROM (
+         |    SELECT doc_id, gram,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY dn DESC, gram) - 1 AS dr
+         |    FROM dcnt) WHERE dr < 300),
+         |dist AS (
+         |  SELECT d.doc_id, l.lang,
+         |    sum(coalesce(abs(d.dr - p.pr), 300)) AS dist,
+         |    count(*) AS doc_size
+         |  FROM dprof d CROSS JOIN langs l
+         |  LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id,
+         |    CASE WHEN dist >= doc_size * 300 THEN 'und' ELSE lang END AS pred
+         |  FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1),
+         |gat AS (
+         |  SELECT doc_id, text,
+         |    length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS letters,
+         |    length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk,
+         |    length(regexp_replace(text, '[^\\x{0400}-\\x{04FF}]', '', 'g')) AS cyr
+         |  FROM documents)
+         |SELECT g.doc_id,
+         |  CASE WHEN g.text IS NULL OR g.letters < 3 THEN 'und'
+         |       WHEN g.cjk * 10 >= g.letters THEN 'zh'
+         |       WHEN g.cyr * 10 >= g.letters THEN 'ru'
+         |       ELSE coalesce(b.pred, 'und') END AS lang_pred
+         |FROM gat g LEFT JOIN best b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t8_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
