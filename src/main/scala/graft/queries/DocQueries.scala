@@ -277,7 +277,48 @@ object DocQueries {
       graft.operators.Ivf.ivfKnnBulk(e, e.filter(col("vec_id") < 8), k = 5,
         cents, nProbe = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // PERSISTED IVF index (build-once/search-many): cells partitioned by
+    // cell id on disk; the probe set becomes a static PARTITION filter so
+    // only probed directories are read (~nProbe/nList of the corpus).
+    // Same quantizer/probe/re-rank semantics as s3, so the exact
+    // brute-force oracle is shared; the pruned-scan shape is gated in
+    // IvfIndexSpec by the scan's numFiles metric.
+    "s5_knn_ivf_index" -> ((s, dir) => {
+      val idx = ensureIvfIndex(s, dir)
+      graft.operators.IvfIndex.knn(s, idx,
+        augEmb(s, dir).filter(col("vec_id") < 8), k = 5, nProbe = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Bulk search over the SAME persisted index: nothing broadcast, no
+    // pruning (corpus-sized probe sets touch every cell) — the index win
+    // is the pre-materialized cell column (no assignment scan).
+    "s6_knn_ivf_index_bulk" -> ((s, dir) => {
+      val idx = ensureIvfIndex(s, dir)
+      graft.operators.IvfIndex.knnBulk(s, idx,
+        augEmb(s, dir).filter(col("vec_id") < 8), k = 5, nProbe = 10)
+        .orderBy("query_id", "rank")
     }))
+
+  /** Build (or reuse) the persisted IVF index over the augmented embedding
+    * corpus for this scale — same existence-is-validity + atomic-rename
+    * discipline as the fixture generators. */
+  private def ensureIvfIndex(s: SparkSession, dir: String)
+      : graft.operators.IvfIndex.Handle = {
+    import java.nio.file.Paths
+    val e = augEmb(s, dir)
+    val n = e.count()
+    val name = Paths.get(dir).getFileName.toString
+    val target =
+      s"ivf-v${graft.operators.IvfIndex.Version}-n$n-l32"
+    val out = graft.fixtures.FixtureDirs.ensureAtomic(
+      Paths.get("/root/repo/data/ivf", name), target) { tmp =>
+      graft.operators.IvfIndex.write(e, tmp, nList = 32)
+    }
+    graft.operators.IvfIndex.open(s, out)
+  }
 
   /** embeddings + 5 planted near-neighbors per probe vector (vec_id < 8):
     * copy j (id + 10000*(j+1)) negates components i where i % 13 == j —
@@ -611,7 +652,9 @@ object DocQueries {
     // the honest way to hash-verify an ANN path).
     "s3_knn_ivf" -> augKnnOracleSql,
     "s2_knn_lsh" -> augKnnOracleSql,
-    "s4_knn_ivf_bulk" -> augKnnOracleSql)
+    "s4_knn_ivf_bulk" -> augKnnOracleSql,
+    "s5_knn_ivf_index" -> augKnnOracleSql,
+    "s6_knn_ivf_index_bulk" -> augKnnOracleSql)
 
   private lazy val augKnnOracleSql: String =
     s"""WITH aug AS (

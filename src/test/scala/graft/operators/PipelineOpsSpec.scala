@@ -419,6 +419,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bulk.map(_._1).size == 48, "expected all 48 family queries answered")
   }
 
+  test("persisted IVF index: search matches the in-memory path bit-for-bit, bulk included") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val cents = Ivf.fit(embAug, "embedding", nList = 32)
+    val written = IvfIndex.write(embAug, dir, nList = 32)
+    assert(written.cents.zip(cents).forall { case (a, b) => a.sameElements(b) },
+      "persisted quantizer differs from the deterministic fit")
+    val idx = IvfIndex.open(spark, dir)
+    assert(idx.nList == 32)
+    assert(idx.cents.zip(cents).forall { case (a, b) => a.sameElements(b) },
+      "reopened centroids differ from the written ones")
+
+    val queries = embAug.filter($"vec_id" < 8)
+    val want = Ivf.ivfKnn(embAug, queries, k = 5, cents, nProbe = 10)
+      .select("query_id", "rank", "cand_id", "score_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val got = IvfIndex.knn(spark, idx, queries, k = 5, nProbe = 10)
+      .select("query_id", "rank", "cand_id", "score_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == want)
+    val bulk = IvfIndex.knnBulk(spark, idx, queries, k = 5, nProbe = 10)
+      .select("query_id", "rank", "cand_id", "score_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(bulk == want)
+  }
+
+  test("persisted IVF index: probes read ONLY probed partitions (pruned scan, by metric)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec        => q +: allNodes(q.plan)
+      case other                    => other +: other.children.flatMap(allNodes)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_prune").toString
+    IvfIndex.write(embAug, dir, nList = 32)
+    val idx = IvfIndex.open(spark, dir)
+    // one query, three probes: at most 3 of the >6 non-empty cells read
+    val one = embAug.filter($"vec_id" === 0)
+    val cents = idx.cents
+    val want = Ivf.ivfKnn(embAug, one, k = 5, cents, nProbe = 3)
+      .select("query_id", "rank", "cand_id", "score_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val df = IvfIndex.knn(spark, idx, one, k = 5, nProbe = 3)
+    val got = df.select("query_id", "rank", "cand_id", "score_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == want)
+
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).length
+    assert(cellDirs > 6, s"quantizer collapsed: $cellDirs cell dirs")
+    val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/cells"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("ivfidx_prune")) => f
+    }
+    // both index reads (candidate formation + vector rehydration) prune
+    assert(scans.size >= 2, s"expected 2 index scans, got ${scans.size}")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"no partition filter pushed into the index scan:\n$f")
+      assert(f.metrics("numFiles").value < totalFiles,
+        s"scan read ${f.metrics("numFiles").value} of $totalFiles files — pruning vacuous")
+    }
+  }
+
   test("Tuning: helper-chosen parameters meet their target recall on the planted fixture") {
     // analytic S-curves: monotone in the amplification parameter and
     // consistent with the stated formula at the endpoints
