@@ -77,6 +77,26 @@ object IvfIndex {
     Handle(dir, cents)
   }
 
+  /** Append new vectors to an existing index under its FROZEN quantizer:
+    * each row is assigned a cell with the persisted centroids (one
+    * codegen'd map, no shuffle) and appended into the cell layout. The
+    * quantizer is deliberately NOT refit — the IVF serving contract
+    * (FAISS `add()` semantics): searches over the grown index are
+    * bit-identical to a from-scratch assignment of the union under the
+    * same centroids, and recall only degrades if the data distribution
+    * drifts far from the training sample, at which point you rebuild and
+    * republish (atomic-rename discipline at the call site). Single-writer
+    * append: concurrent appends interleave safely (parquet part files),
+    * but readers racing an in-flight append may see a partial batch —
+    * publish by rename where that matters. Works as a streaming sink via
+    * `foreachBatch((b, _) => IvfIndex.append(idx, b))`. */
+  def append(index: Handle, rows: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    rows.select(col(idCol), col(vecCol),
+        Ivf.cellCol(col(vecCol), index.cents).as("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(index.cellsPath)
+
   /** Open a persisted index: loads the centroid sidecar (nList rows). */
   def open(spark: SparkSession, dir: String): Handle = {
     val cents = spark.read.parquet(s"$dir/centroids")

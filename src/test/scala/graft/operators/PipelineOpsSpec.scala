@@ -444,6 +444,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bulk == want)
   }
 
+  test("persisted IVF index: micro-batch append == from-scratch assignment of the union") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx_app").toString
+    val base = embAug.filter($"vec_id" % 3 =!= 0)
+    val idx = IvfIndex.write(base, dir, nList = 32)
+    // three micro-batch appends under the frozen quantizer — the
+    // foreachBatch streaming-ingest shape
+    Seq(0, 3, 6).foreach { r =>
+      IvfIndex.append(idx, embAug.filter($"vec_id" % 9 === r))
+    }
+    val queries = embAug.filter($"vec_id" < 8)
+    // ground truth: the in-memory path over the FULL union with the
+    // SAME (base-fitted) centroids — append must be invisible to search
+    val want = Ivf.ivfKnn(embAug, queries, k = 5, idx.cents, nProbe = 10)
+      .select("query_id", "rank", "cand_id", "score_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val got = IvfIndex.knn(spark, IvfIndex.open(spark, dir), queries,
+        k = 5, nProbe = 10)
+      .select("query_id", "rank", "cand_id", "score_x1e6")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.map(_._1).size == 8)
+  }
+
   test("persisted IVF index: probes read ONLY probed partitions (pruned scan, by metric)") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
