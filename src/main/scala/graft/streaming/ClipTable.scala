@@ -267,7 +267,11 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
       .filter(d => d.getFileName.toString.startsWith("batch=") && nonEmptyDir(d))
 
   // GC ledger: one marker file per superseded directory (filename =
-  // base64url of the root-relative path, content = schedule epoch-millis).
+  // base64url of the root-relative path, content = the FENCE EPOCH the
+  // schedule was stamped with — see the epoch-fence comment below; a
+  // just-created marker briefly holds "PENDING" until its epoch is
+  // claimed, and a scheduler crash in that window is healed by the next
+  // sweep).
   private def gcDir: Path = Paths.get(root, "_gc")
   private def relOf(p: Path): String =
     Paths.get(root).toAbsolutePath.normalize
@@ -275,29 +279,119 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
   private def gcKey(rel: String): String =
     java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
       rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  private def gcSchedule(p: Path): Unit = {
-    Files.createDirectories(gcDir)
-    val f = gcDir.resolve(gcKey(relOf(p)))
-    if (!Files.exists(f)) Files.writeString(f, System.currentTimeMillis().toString)
-  }
-  private def gcEntries: Seq[(String, Path, Long)] =
+  private def gcRelOfKey(name: String): Option[String] =
+    scala.util.Try(new String(java.util.Base64.getUrlDecoder.decode(name),
+      java.nio.charset.StandardCharsets.UTF_8)).toOption
+
+  /** Every scheduled root-relative path, PENDING markers included — the
+    * read()/compact() exclusion set. A marker excludes its directory the
+    * moment the FILE exists, before any epoch is assigned: the fence
+    * argument below needs "marker visible => later listings never resolve
+    * the directory". */
+  private def gcScheduledRels: Set[String] =
+    listDir(gcDir).flatMap(f => gcRelOfKey(f.getFileName.toString)).toSet
+
+  /** Ledger entries: (rel, path, fence epoch — None while PENDING, marker
+    * storage mtime). Only finalized entries are sweep-eligible. */
+  private def gcEntries: Seq[(String, Path, Option[Long], Long)] =
     listDir(gcDir).flatMap { f =>
-      scala.util.Try {
-        val rel = new String(java.util.Base64.getUrlDecoder.decode(
-          f.getFileName.toString), java.nio.charset.StandardCharsets.UTF_8)
-        (rel, Paths.get(root).resolve(rel), Files.readString(f).trim.toLong)
-      }.toOption
+      gcRelOfKey(f.getFileName.toString).flatMap { rel =>
+        scala.util.Try {
+          val epoch = Files.readString(f).trim.toLongOption
+          (rel, Paths.get(root).resolve(rel), epoch,
+            Files.getLastModifiedTime(f).toMillis)
+        }.toOption
+      }
     }
+
+  // ---------------------------------------------------- GC epoch fence
+  //
+  // "Did this reader resolve its file list before that GC schedule?" used
+  // to be decided by comparing System.currentTimeMillis() stamps written
+  // by DIFFERENT processes — fine on one host, silently wrong under
+  // cross-host clock skew (a reader whose clock runs ahead of the
+  // compactor's looks like it acquired after the schedule, loses the
+  // fence, and can have resolved files deleted under it). The order is
+  // now LOGICAL: a fence epoch counter advanced by atomic-exclusive file
+  // creation (`_epoch/e<N>` — Files.createFile fails if the name exists,
+  // so two processes can never both claim epoch N). Leases and schedule
+  // markers are stamped with claimed epochs, and the sweep's blocking
+  // rule is pure integer order: a live lease with epoch <= a marker's
+  // epoch blocks that marker. No clock anywhere in the ordering.
+  //
+  // Why the rule is sound (two-phase schedule): gcScheduleAll creates
+  // every marker FILE (content PENDING) before claiming the schedule's
+  // epoch S. Take any leased reader. If its listing happened after the
+  // marker existed, read() excluded the directory — the reader never
+  // resolved it and needs no protection. If its listing happened before,
+  // then its lease epoch E (claimed before the listing) was claimed
+  // before S, so E < S and the sweep blocks. There is no interleaving in
+  // which a reader resolves the directory yet holds E > S.
+  //
+  // Wall time survives ONLY inside age computations (grace window,
+  // crashed-lease expiry) and there it is ONE clock — the storage
+  // system's: file mtimes compared against the mtime of a probe file the
+  // sweep just wrote. Two readings of the same clock, never two clocks.
+  private def epochDir: Path = Paths.get(root, "_epoch")
+  private def currentEpoch: Long =
+    listDir(epochDir).flatMap { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith("e")) n.drop(1).toLongOption else None
+    }.foldLeft(0L)(math.max)
+
+  /** Claim the next fence epoch (atomic across processes). Stale counter
+    * files below the claim are pruned best-effort — only the max matters,
+    * and the claimed file itself is never pruned by its claimant. */
+  private def advanceEpoch(): Long = {
+    Files.createDirectories(epochDir)
+    var claimed = -1L
+    while (claimed < 0) {
+      val next = currentEpoch + 1
+      try { Files.createFile(epochDir.resolve(s"e$next")); claimed = next }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+    listDir(epochDir).foreach { f =>
+      f.getFileName.toString.drop(1).toLongOption
+        .filter(_ < claimed).foreach(_ => Files.deleteIfExists(f))
+    }
+    claimed
+  }
+
+  /** Schedule directories for deletion under ONE fence epoch — two-phase
+    * (all marker files first, then one epoch claim, then finalize) per
+    * the soundness argument above. Already-scheduled paths are skipped;
+    * PENDING leftovers from a crashed scheduler are finalized by the
+    * next sweep. */
+  private def gcScheduleAll(paths: Seq[Path]): Unit = {
+    Files.createDirectories(gcDir)
+    val fresh = paths.map(p => gcDir.resolve(gcKey(relOf(p))))
+      .filterNot(Files.exists(_))
+    if (fresh.isEmpty) return
+    fresh.foreach(f => Files.writeString(f, "PENDING"))
+    val epoch = advanceEpoch()
+    fresh.foreach(f => Files.writeString(f, epoch.toString))
+  }
+
+  /** The storage clock: mtime of a probe file written now. Grace and
+    * lease-expiry ages are differences between readings of THIS clock. */
+  private def storageNow(): Long = {
+    Files.createDirectories(gcDir)
+    val probe = gcDir.resolve(".clock") // '.' is not base64url: never a ledger entry
+    Files.writeString(probe, "")
+    Files.getLastModifiedTime(probe).toMillis
+  }
+
   // ------------------------------------------------------- reader leases
   //
   // The grace window alone is TIME-based: a reader slower than gcGraceMs
   // could still lose resolved files. Leases make GC deterministic for
-  // arbitrarily slow readers: `readLeased()` registers a lease file BEFORE
-  // resolving the file list, and the sweep refuses to delete a superseded
-  // directory while any lease acquired at-or-before its schedule time is
-  // still held. Leases acquired AFTER the schedule never block it — read()
-  // excludes GC-scheduled dirs, so those readers never resolved it. A
-  // crashed reader's lease expires after `leaseTimeoutMs` (falling back to
+  // arbitrarily slow readers: `readLeased()` claims a fence epoch and
+  // registers a lease file BEFORE resolving the file list, and the sweep
+  // refuses to delete a superseded directory while any lease with epoch
+  // <= the directory's schedule epoch is held. Leases claimed after the
+  // schedule never block it — read() excludes GC-scheduled dirs, so those
+  // readers never resolved it. A crashed reader's lease expires once its
+  // file's storage age exceeds `leaseTimeoutMs` (falling back to
   // time-based semantics) so a dead process cannot block GC forever.
   private def leasesDir: Path = Paths.get(root, "_leases")
 
@@ -307,13 +401,13 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     def release(): Unit = Files.deleteIfExists(file)
   }
 
-  /** Register a lease dated now; subsequent GC schedules will not
-    * physically delete directories this reader may have resolved until
-    * release() or lease expiry. */
+  /** Claim a fence epoch and register it as a lease; subsequent GC
+    * schedules will not physically delete directories this reader may
+    * have resolved until release() or lease expiry. */
   def acquireLease(): ReadLease = synchronized {
     Files.createDirectories(leasesDir)
     val f = leasesDir.resolve(s"lease-${java.util.UUID.randomUUID()}")
-    Files.writeString(f, System.currentTimeMillis().toString)
+    Files.writeString(f, advanceEpoch().toString)
     new ReadLease(f)
   }
 
@@ -325,27 +419,43 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     (read(spark), lease)
   }
 
-  /** Acquire-times of live leases; expired ones are dropped (best-effort
-    * file cleanup) so a crashed reader can't pin GC. */
-  private def activeLeaseTimes: Seq[Long] = {
-    val now = System.currentTimeMillis()
+  /** Fence epochs of live leases. Expiry is on the storage clock (lease
+    * file mtime vs the sweep's probe mtime); expired files are dropped
+    * (best-effort) so a crashed reader can't pin GC. */
+  private def activeLeaseEpochs(storageNowMs: Long): Seq[Long] =
     listDir(leasesDir).flatMap { f =>
+      val live = scala.util.Try(
+        storageNowMs - Files.getLastModifiedTime(f).toMillis <= leaseTimeoutMs
+      ).getOrElse(false)
       scala.util.Try(Files.readString(f).trim.toLong).toOption match {
-        case Some(ts) if now - ts <= leaseTimeoutMs => Some(ts)
+        case Some(e) if live => Some(e)
         case Some(_) => Files.deleteIfExists(f); None
         case None => None // unreadable/foreign file: ignore, never blocks
       }
     }
-  }
 
   private def gcSweep(): Unit = {
-    val now = System.currentTimeMillis()
-    val leases = activeLeaseTimes
-    gcEntries.foreach { case (rel, p, ts) =>
-      val leased = leases.exists(_ <= ts)
-      if (now - ts >= gcGraceMs && !leased) {
-        deleteRecursively(p)
-        Files.deleteIfExists(gcDir.resolve(gcKey(rel)))
+    // Heal PENDING markers left by a scheduler crash between the two
+    // phases: claim one epoch for all of them. Extant leases were claimed
+    // earlier, so they carry smaller epochs and still block — exactly the
+    // conservative direction. Healing precedes the probe so the healed
+    // markers' mtimes are at-or-before `now` (age >= 0: with grace 0 the
+    // same sweep can collect them).
+    val pending = gcEntries.collect { case (rel, _, None, _) => rel }
+    if (pending.nonEmpty) {
+      val epoch = advanceEpoch()
+      pending.foreach(rel =>
+        Files.writeString(gcDir.resolve(gcKey(rel)), epoch.toString))
+    }
+    val now = storageNow()
+    val leases = activeLeaseEpochs(now)
+    gcEntries.foreach { case (rel, p, epochOpt, mtime) =>
+      epochOpt.foreach { e =>
+        val leased = leases.exists(_ <= e)
+        if (now - mtime >= gcGraceMs && !leased) {
+          deleteRecursively(p)
+          Files.deleteIfExists(gcDir.resolve(gcKey(rel)))
+        }
       }
     }
     val dp = Paths.get(root, "delta")
@@ -367,7 +477,7 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
   def compact(spark: SparkSession): Unit = synchronized {
     if (!mergeOnRead) return
     recoverCompaction() // legacy _compact-trash from a pre-versioned crash
-    val gcSet = gcEntries.map(_._1).toSet
+    val gcSet = gcScheduledRels
     val base = latestBase.filterNot(p => gcSet.contains(relOf(p)))
     val deltas = deltaBatchDirs.filterNot(p => gcSet.contains(relOf(p)))
     if (base.isEmpty && deltas.isEmpty) { gcSweep(); return }
@@ -381,7 +491,7 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     val next = baseVersions.lastOption.map(_._1 + 1).getOrElse(0)
     Files.move(staging, Paths.get(root, s"compacted-v$next"),
       StandardCopyOption.ATOMIC_MOVE)
-    (base.toSeq ++ deltas).foreach(gcSchedule)
+    gcScheduleAll(base.toSeq ++ deltas)
     gcSweep()
   }
 
@@ -434,7 +544,7 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     if (!mergeOnRead) return false
     // only UNFOLDED deltas count toward the threshold — GC-scheduled ones
     // are already in the latest base and merely await their grace window
-    val gcSet = gcEntries.map(_._1).toSet
+    val gcSet = gcScheduledRels
     val n = deltaBatchDirs.count(d => !gcSet.contains(relOf(d)))
     if (n > maxDeltas) { compact(spark); true }
     else { gcSweep(); false }
@@ -548,7 +658,7 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
       // latest base + unfolded deltas; GC-scheduled dirs are excluded
       // (their content is in the latest base) but stay on disk through
       // the grace window for readers that already resolved their files
-      val gcSet = gcEntries.map(_._1).toSet
+      val gcSet = gcScheduledRels
       latestBase.filterNot(p => gcSet.contains(relOf(p)))
         .foreach(b => live += b.toString)
       live ++= deltaBatchDirs

@@ -147,6 +147,57 @@ class ExactlyOnceSpec extends AnyFunSuite {
       .as[(String, Int)].collect().toMap == truth + ("k9" -> 9))
   }
 
+  test("epoch-fenced GC: post-schedule leases never block; PENDING markers heal") {
+    // The lease/schedule order is a LOGICAL fence epoch (atomic file
+    // creation), not a cross-process wall-clock comparison — this test
+    // pins the order semantics the fence must provide.
+    val dir = Files.createTempDirectory("tbl-fence").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true,
+      gcGraceMs = 0L)
+    (0 until 3).foreach(i => t.merge(Seq((s"k$i", i)).toDF("k", "v"), i))
+
+    // a lease whose epoch was claimed BEFORE the schedule blocks it...
+    val (_, early) = t.readLeased(spark)
+    t.compact(spark)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "delta")),
+      "pre-schedule lease lost the fence")
+    early.release()
+    // ...but a lease claimed AFTER the schedule must NOT block the sweep
+    // even while HELD: read() excluded the scheduled dirs from its
+    // resolution, so it has no claim on them, and its fence epoch is
+    // above the markers'.
+    val (lateDf, late) = t.readLeased(spark)
+    t.gcNow()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "delta")),
+      "post-schedule lease blocked a sweep it never had a claim on")
+    assert(lateDf.select("k", "v").as[(String, Int)].collect().toMap ==
+      Map("k0" -> 0, "k1" -> 1, "k2" -> 2))
+    late.release()
+
+    // Scheduler crash healing: a marker left as PENDING (crash between
+    // marker-file write and epoch claim) excludes its dir from reads
+    // immediately, and the next sweep finalizes (assigns an epoch) and
+    // collects it in one pass.
+    val dir2 = Files.createTempDirectory("tbl-pending").toString
+    val t2 = ClipTable(dir2, Seq("k"), numBuckets = 2, mergeOnRead = true,
+      gcGraceMs = 0L)
+    t2.merge(Seq(("a", 1)).toDF("k", "v"), 0)
+    t2.merge(Seq(("b", 2)).toDF("k", "v"), 1)
+    val gc = java.nio.file.Paths.get(dir2, "_gc")
+    java.nio.file.Files.createDirectories(gc)
+    val key = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString("delta/batch=0".getBytes("UTF-8"))
+    java.nio.file.Files.writeString(gc.resolve(key), "PENDING")
+    assert(t2.read(spark).select("k", "v").as[(String, Int)].collect().toMap ==
+      Map("b" -> 2), "PENDING marker did not exclude its dir from read()")
+    t2.gcNow()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir2, "delta", "batch=0")),
+      "healed PENDING marker was not swept")
+    assert(!java.nio.file.Files.exists(gc.resolve(key)),
+      "marker not cleared after sweep")
+  }
+
   test("a table from an incompatible format version is refused, not corrupted") {
     // v1 (round 1) bucketed on space-joined keys and has no _format marker;
     // merging into it with the v2 layout would silently lose re-bucketed
