@@ -177,6 +177,67 @@ object AudioCodec {
     if (n == 0) 0.0 else math.sqrt(acc / n)
   }
 
+  /** Fused decode + energy-based voice-activity segmentation: the signal
+    * is cut into `frameMs` frames, a frame is VOICED iff its RMS (float
+    * scale, like [[rms]]) >= rmsThreshold, and maximal voiced runs become
+    * segments. Returns segments flattened as [start_ms, end_ms, ...] on
+    * the frame grid.
+    *
+    * The trailing partial frame (n % frameSamples != 0) is DROPPED, not
+    * padded: a partial frame's RMS depends on whatever phase the signal
+    * happened to end on (one or two samples can sit on a zero crossing),
+    * which would make the clip tail's voicedness non-deterministic to
+    * downstream length contracts. On the frame grid the output is an
+    * exact function of (n, sr, frameMs) and per-frame voicedness.
+    *
+    * One pass over the bytes, zero allocation beyond the output — the
+    * same fused-scan shape as [[rms]]/[[bandEnergies]]. */
+  def segmentsMs(bytes: Array[Byte], codec: String, srHz: Int,
+                 frameMs: Int, rmsThreshold: Double): Array[Int] = {
+    require(frameMs > 0, s"frameMs must be > 0, got $frameMs")
+    val fsL = srHz.toLong * frameMs / 1000
+    require(fsL > 0, s"frame shorter than one sample: sr=$srHz frameMs=$frameMs")
+    val frameSamples = fsL.toInt
+    val n = sampleCount(bytes.length, codec)
+    val nf = n / frameSamples
+    if (nf == 0) return Array.emptyIntArray
+    val segs = new scala.collection.mutable.ArrayBuffer[Int](8)
+    var runStart = -1
+    var f = 0
+    while (f < nf) {
+      var acc = 0.0
+      val base = f * frameSamples
+      codec match {
+        case Pcm16 =>
+          var i = 0
+          while (i < frameSamples) {
+            val j = 2 * (base + i)
+            val s = ((bytes(j) & 0xFF) | (bytes(j + 1) << 8)).toShort / 32768.0
+            acc += s * s; i += 1
+          }
+        case Ulaw =>
+          var i = 0
+          while (i < frameSamples) {
+            val s = ulawToLinear(bytes(base + i)) / 32768.0; acc += s * s; i += 1
+          }
+        case Alaw =>
+          var i = 0
+          while (i < frameSamples) {
+            val s = alawToLinear(bytes(base + i)) / 32768.0; acc += s * s; i += 1
+          }
+        case other => throw new IllegalArgumentException(s"unknown codec: $other")
+      }
+      val voiced = math.sqrt(acc / frameSamples) >= rmsThreshold
+      if (voiced && runStart < 0) runStart = f
+      else if (!voiced && runStart >= 0) {
+        segs += runStart * frameMs; segs += f * frameMs; runStart = -1
+      }
+      f += 1
+    }
+    if (runStart >= 0) { segs += runStart * frameMs; segs += nf * frameMs }
+    segs.toArray
+  }
+
   /** Fused decode + Goertzel filterbank: per-band signal energy at
     * `nBands` evenly spaced center frequencies in (0, sr/2). One pass over
     * the bytes, `nBands` Goertzel recurrences running in parallel, zero

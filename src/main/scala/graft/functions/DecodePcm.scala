@@ -288,6 +288,62 @@ case class PcmQuality(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Row packer for `pcm_segments` — a plain object so the generated Java
+  * can call it as a static (`graft.functions.PcmSegRows.toRows`). */
+object PcmSegRows {
+  /** [s0,e0,s1,e1,...] -> array<struct<seg_start_ms, seg_end_ms>>. */
+  def toRows(flat: Array[Int]): ArrayData = {
+    val rows = new Array[Any](flat.length / 2)
+    var i = 0
+    while (i < rows.length) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(flat(2 * i), flat(2 * i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** `pcm_segments(bytes, codec, sr_hz)` ->
+  * `array<struct<seg_start_ms:int, seg_end_ms:int>>` — fused decode +
+  * energy voice-activity segmentation on a `frameMs` frame grid (silence
+  * stripping / speech-span extraction, the audio curation staple). See
+  * [[graft.audio.AudioCodec.segmentsMs]] for the exact contract: frames
+  * are voiced iff frame RMS >= rmsThreshold, maximal voiced runs become
+  * segments, and the trailing partial frame is dropped so the output is
+  * an integer-exact function of (n, sr, frameMs) and frame voicedness —
+  * which is what makes the operator ORACLE-able from byte arithmetic. */
+case class PcmSegments(first: Expression, second: Expression, third: Expression,
+    frameMs: Int = 50, rmsThreshold: Double = 0.03) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_segments expects (binary, string, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = PcmSegments.Schema
+  override def prettyName: String = "pcm_segments"
+  override def nullSafeEval(bytes: Any, codec: Any, sr: Any): Any =
+    PcmSegRows.toRows(AudioCodec.segmentsMs(bytes.asInstanceOf[Array[Byte]],
+      codec.asInstanceOf[UTF8String].toString, sr.asInstanceOf[Int],
+      frameMs, rmsThreshold))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, s) =>
+      s"${ev.value} = graft.functions.PcmSegRows.toRows(" +
+        s"graft.audio.AudioCodec.segmentsMs($b, $c.toString(), $s, " +
+        s"$frameMs, $rmsThreshold));")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+object PcmSegments {
+  val Schema: DataType = ArrayType(org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("seg_start_ms", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("seg_end_ms", IntegerType, nullable = false))),
+    containsNull = false)
+}
+
 object GraftFunctions {
   /** Expression -> Column bridge (Spark 4 classic API). */
   def toColumn(e: Expression): Column = Bridge.column(e)
@@ -305,6 +361,11 @@ object GraftFunctions {
   def pcm_band_energies(bytes: Column, codec: Column, srHz: Column,
                         nBands: Int = 8): Column =
     toColumn(PcmBandEnergies(toExpr(bytes), toExpr(codec), toExpr(srHz), nBands))
+
+  def pcm_segments(bytes: Column, codec: Column, srHz: Column,
+                   frameMs: Int = 50, rmsThreshold: Double = 0.03): Column =
+    toColumn(PcmSegments(toExpr(bytes), toExpr(codec), toExpr(srHz),
+      frameMs, rmsThreshold))
 
   def pcm_transcode(bytes: Column, codec: Column, target: Column): Column =
     toColumn(PcmTranscode(toExpr(bytes), toExpr(codec), toExpr(target)))
@@ -370,6 +431,8 @@ object GraftFunctions {
       es => PcmRms(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_band_energies",
       es => PcmBandEnergies(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_segments",
+      es => PcmSegments(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_transcode",
       es => PcmTranscode(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_resample",

@@ -26,6 +26,14 @@ object ClipQueries {
   def updatesGlob(sf: String = OracleSf): String =
     s"/root/repo/data/clips/$sf/updates/*.parquet"
 
+  /** One encoded "silence" byte per G.711 codec — the codec's own
+    * encode(0) (decodes to |sample| <= 8 of int16 scale, far below any
+    * voicedness threshold). Used by c18's in-query gapped construction. */
+  private val UlawZeroHex =
+    f"${graft.audio.AudioCodec.encode(Array(0f), graft.audio.AudioCodec.Ulaw).head & 0xFF}%02x"
+  private val AlawZeroHex =
+    f"${graft.audio.AudioCodec.encode(Array(0f), graft.audio.AudioCodec.Alaw).head & 0xFF}%02x"
+
   /** The reference "persons cards" payload re-expressed (SURVEY.md §7.2.3):
     * the flagship extraction spec. */
   val cardsSpec: ExtractionSpec = ExtractionSpec("cards", Seq(
@@ -267,6 +275,44 @@ object ClipQueries {
         .orderBy("clip_id")
     }),
 
+    // Energy-based VAD segmentation (silence stripping / speech-span
+    // extraction — the audio curation staple): cut each clip into 50 ms
+    // frames, frames are voiced iff frame RMS >= 0.03, maximal voiced
+    // runs become segments. ORACLED exactly: the organic corpus is voiced
+    // end-to-end on the frame grid (one segment per clip), and a planted
+    // "gapped" variant (id%20==2, '-g' ids) is constructed IN-QUERY as
+    // [500ms silence][voiced][500ms silence][voiced] with the voiced part
+    // truncated to the frame grid, so every boundary is a pure integer
+    // function of (n_samples, sr_hz) that the DuckDB oracle states from
+    // byte arithmetic alone. Silence bytes are the codec's own encode(0)
+    // (pcm16 zeros, G.711 companded zero) built with repeat/unhex — the
+    // whole query is one fused codegen scan, no UDF.
+    "c18_segments" -> ((s, dir) => {
+      val base = ClipGen.readClips(s, dir)
+        .select(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
+      val gapped = base
+        .filter(expr("CAST(substr(clip_id, 6, 8) AS INT) % 20 = 2"))
+        // bytes per 50ms frame / frame-truncated voiced span / 500ms of
+        // encoded silence (sr DIV 2 samples; '0000' is 2 bytes-per-sample
+        // for pcm16, one companded byte otherwise)
+        .withColumn("_fb", expr(
+          "CAST(sr_hz DIV 20 AS BIGINT) * (CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END)"))
+        .withColumn("_voiced", expr(
+          "substring(bytes, 1, CAST(octet_length(bytes) DIV _fb * _fb AS INT))"))
+        .withColumn("_sil", expr(
+          s"unhex(repeat(CASE codec WHEN 'pcm16' THEN '0000' " +
+            s"WHEN 'ulaw' THEN '$UlawZeroHex' ELSE '$AlawZeroHex' END, " +
+            "CAST(sr_hz DIV 2 AS INT)))"))
+        .select(concat(col("clip_id"), lit("-g")).as("clip_id"),
+          concat(col("_sil"), col("_voiced"), col("_sil"), col("_voiced")).as("bytes"),
+          col("codec"), col("sr_hz"))
+      base.unionByName(gapped)
+        .select(col("clip_id"),
+          explode(pcm_segments(col("bytes"), col("codec"), col("sr_hz"))).as("seg"))
+        .select(col("clip_id"), col("seg.seg_start_ms"), col("seg.seg_end_ms"))
+        .orderBy("clip_id", "seg_start_ms")
+    }),
+
     // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
     // country -> region, depth fixed at plan time; leaf level aggregates.
     "c9_multihop" -> ((s, dir) => {
@@ -330,6 +376,28 @@ object ClipQueries {
            |FROM $clips
            |WHERE sr_hz <> 16000
            |ORDER BY 1""".stripMargin,
+      // The planted ground truth for VAD segmentation: organic clips are
+      // voiced end-to-end on the 50ms frame grid (one segment, end = full
+      // frames only), the in-query gapped variants ('-g', id%20==2) are
+      // [500ms sil][vf frames][500ms sil][vf frames] — every boundary is
+      // integer arithmetic on (octet_length, codec, sr_hz).
+      "c18_segments" ->
+        s"""WITH c AS (
+           |  SELECT clip_id,
+           |    CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes) // 2
+           |         ELSE octet_length(bytes) END AS BIGINT)
+           |      // (sr_hz // 20) AS vf,
+           |    CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 AS cls
+           |  FROM $clips)
+           |SELECT clip_id, 0 AS seg_start_ms,
+           |       CAST(vf * 50 AS INTEGER) AS seg_end_ms FROM c
+           |UNION ALL
+           |SELECT clip_id || '-g', 500, CAST(500 + vf * 50 AS INTEGER)
+           |FROM c WHERE cls = 2
+           |UNION ALL
+           |SELECT clip_id || '-g', CAST(1000 + vf * 50 AS INTEGER),
+           |       CAST(1000 + 2 * vf * 50 AS INTEGER) FROM c WHERE cls = 2
+           |ORDER BY 1, 2""".stripMargin,
       "c13_custom_sessions" ->
         s"""WITH ev AS (
            |  SELECT person_idx, epoch_ms(event_time) AS ms, dur_ms
