@@ -87,6 +87,33 @@ object Sampling {
       .drop("_run_tokens")
   }
 
+  /** Per-stratum deterministic downsampling (the rebalance staple: "keep
+    * 25% of English, half of Chinese, all of the rest"): a row survives
+    * iff its id-hash bucket falls under its stratum's permille. Pure
+    * id-hash membership like [[deterministicSplit]] — reproducible on any
+    * engine/cluster, stable under corpus growth, one narrow map with NO
+    * shuffle (contrast DataFrame.sample, which is partition-order
+    * dependent and un-stratified).
+    *
+    * The hash domain is SALTED (`id || ":strat"`) so it is independent of
+    * [[deterministicSplit]]'s: sampling then splitting must not correlate
+    * (with the same hash, a 250-permille sample would land entirely
+    * inside the train split — a leak-shaped artifact). Strata absent from
+    * `permilleByStratum` keep `defaultPermille`. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       permilleByStratum: Map[String, Int],
+                       defaultPermille: Int = 1000): DataFrame = {
+    require((defaultPermille +: permilleByStratum.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000),
+      s"permilles must be in [0,1000]: $permilleByStratum default=$defaultPermille")
+    val b = portable_bucket(
+      concat(col(idCol).cast("string"), lit(":strat")), lit(1000))
+    val thr = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, p)) => when(col(stratumCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(b < thr)
+  }
+
   /** Skew-safe frequency capping: identical output to [[capPerGroup]],
     * built for corpora where one group holds a huge share of the rows (a
     * single window partition would serialize it onto one task). Two-phase

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing — the redaction pass a training-data pipeline runs
+  * before text ever reaches a model. Pure built-in regexp expressions
+  * (codegen'd, no UDF), so the scan stays one whole-stage-codegen pass
+  * and the exact same semantics are statable in the DuckDB oracle (t11).
+  *
+  * The patterns deliberately live in the Java/RE2 COMMON dialect (no
+  * backreferences, no lookaround, no \b): Spark executes them with
+  * java.util.regex, the oracle with RE2 — a construct outside the shared
+  * subset would make the two engines disagree on the same row.
+  */
+object Scrub {
+
+  /** Email addresses (the common-dialect classic). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-format phone numbers: +<digits> with spaces/dashes,
+    * at least 8 chars total, ending in a digit (so trailing prose
+    * punctuation is never swallowed). Anchored on '+' to keep organic
+    * numerals (years, counts) out of scope. */
+  val PhonePattern = "\\+[0-9][0-9 -]{6,}[0-9]"
+
+  /** Replace every email/phone match in `textCol` with redaction tokens,
+    * and count what was redacted: returns the input columns plus
+    * `n_emails`, `n_phones` (int) and `clean_text`. Emails are scrubbed
+    * first; the patterns are disjoint (a phone starts with '+', which no
+    * email match contains), so the order is immaterial to the output but
+    * fixed for determinism. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailPattern)).cast("int"))
+      .withColumn("n_phones", regexp_count(t, lit(PhonePattern)).cast("int"))
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+  }
+
+  /** Column form of the scrubbed text alone. */
+  def scrubbed(textCol: Column): Column =
+    regexp_replace(regexp_replace(textCol, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+}

@@ -97,6 +97,41 @@ object DocQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // PII scrubbing (Scrub.scrubPii): redact emails/phones with built-in
+    // regexp expressions (one codegen'd scan, no UDF) and count the
+    // redactions. The organic corpus contains no PII, so it is PLANTED
+    // deterministically in-query (the dedup-family discipline):
+    // doc_id%13==0 gains an email, doc_id%17==0 a phone, %221 both. The
+    // oracle re-states the planting AND the scrub; the patterns live in
+    // the Java/RE2 common dialect so both engines match the same spans.
+    "t11_pii_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" Contact: user"), col("doc_id").cast("string"),
+              lit("@example.com for details."))).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            concat(lit(" Call +1 555 "),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+              lit(" now."))).otherwise(lit(""))).as("text"))
+      graft.operators.Scrub.scrubPii(planted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Stratified deterministic downsampling (Sampling.stratifiedSample):
+    // keep 25% of English and half of Chinese, all of the rest — the
+    // language-rebalance staple. Membership is a pure salted id-hash (no
+    // shuffle, no sample()); the oracle restates the exact threshold
+    // arithmetic, so the KEPT SET itself is verified, not just counts.
+    "t12_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+          docs(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+          Map("en" -> 250, "zh" -> 500))
+        .orderBy("doc_id")
+    }),
+
     // TRAINED language-ID profiles (Cavnar-Trenkle fit over the labeled
     // corpus — the ROADMAP's "profile tables from a dataset" item): the
     // full (lang, gram, rank, n) profile table is oracled — normalize,
@@ -603,6 +638,30 @@ object DocQueries {
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 2000
         |ORDER BY lang, doc_id""".stripMargin,
+    "t11_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN ' Contact: user' || CAST(doc_id AS VARCHAR) || '@example.com for details.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN ' Call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9][0-9 -]{6,}[0-9]')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+        |FROM planted ORDER BY doc_id""".stripMargin,
+    "t12_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':strat') % 1000::UBIGINT <
+        |  CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
     "t4_token_quality" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens,

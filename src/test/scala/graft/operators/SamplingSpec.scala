@@ -95,4 +95,60 @@ class SamplingSpec extends AnyFunSuite {
     // groups smaller than the cap survive both phases whole
     assert(Sampling.capPerGroupSalted(corpus(3), "grp", "id", 7, 16).count() == 3)
   }
+
+  test("stratifiedSample: exact per-stratum rates, growth-stable, split-independent") {
+    val df = corpus(2000) // 5 strata of 400
+    val rates = Map("grp0" -> 0, "grp1" -> 250, "grp2" -> 1000)
+    val kept = Sampling.stratifiedSample(df, "grp", "id", rates,
+      defaultPermille = 500)
+      .select("id", "grp").as[(Long, String)].collect().toSeq
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!byGrp.contains("grp0")) // permille 0 drops the stratum
+    assert(byGrp("grp2") == 400) // permille 1000 keeps it whole
+    assert(math.abs(byGrp("grp1") - 100) < 45, byGrp.toString)
+    assert(math.abs(byGrp("grp3") - 200) < 60, byGrp.toString) // default
+    // partition- and growth-stability: the kept set is a pure id function
+    val reparted = Sampling.stratifiedSample(df.repartition(13), "grp", "id",
+      rates, defaultPermille = 500)
+      .select("id", "grp").as[(Long, String)].collect().toSeq
+    assert(reparted.sorted == kept.sorted)
+    val grownKept = Sampling.stratifiedSample(corpus(3000), "grp", "id",
+      rates, defaultPermille = 500)
+      .select("id", "grp").as[(Long, String)].collect().toSeq
+    assert(kept.toSet.subsetOf(grownKept.toSet))
+    // hash-domain independence from deterministicSplit: a 250-permille
+    // sample must not nest inside the train split (same-hash correlation
+    // would put 100% of it there)
+    val sampleIds = Sampling.stratifiedSample(df, "grp", "id",
+      Map.empty, defaultPermille = 250)
+      .select("id").as[Long].collect().toSet
+    val splits = Sampling.deterministicSplit(df, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val inTrain = sampleIds.count(id => splits(id) == "train")
+    assert(inTrain < sampleIds.size, "sample nested inside the train split")
+    assert(math.abs(inTrain.toDouble / sampleIds.size - 0.8) < 0.1,
+      s"sample-vs-split correlation: $inTrain of ${sampleIds.size} in train")
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(df, "grp", "id", Map("grp0" -> 1001)))
+  }
+
+  test("scrubPii: planted spans redacted exactly; idempotent; organic text untouched") {
+    val rows = Seq(
+      (1L, "plain organic text with numbers 1234 and a plus + sign"),
+      (2L, "mail me at a.b+tag@ex-ample.co.uk or root@ex.io today"),
+      (3L, "call +1 555 0100 or +49 30-1234567 tonight"),
+      (4L, "both: x@y.org and +1 555 9999 end")).toDF("doc_id", "text")
+    val out = Scrub.scrubPii(rows, "text")
+      .select("doc_id", "n_emails", "n_phones", "clean_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 0, 0, "plain organic text with numbers 1234 and a plus + sign")))
+    assert(out(1) == ((2L, 2, 0, "mail me at <EMAIL> or <EMAIL> today")))
+    assert(out(2) == ((3L, 0, 2, "call <PHONE> or <PHONE> tonight")))
+    assert(out(3) == ((4L, 1, 1, "both: <EMAIL> and <PHONE> end")))
+    // scrubbing is a fixed point: tokens never re-match the patterns
+    val twice = Scrub.scrubPii(
+      out.toSeq.map(r => (r._1, r._4)).toDF("doc_id", "text"), "text")
+      .select("n_emails", "n_phones").as[(Int, Int)].collect()
+    assert(twice.forall(_ == ((0, 0))))
+  }
 }
