@@ -144,6 +144,23 @@ object ClipStreamJob {
       .withColumn("sr_hz", lit(targetHz))
       .withColumn("codec", lit("pcm16"))
 
+  /** SEGMENT-ON-INGEST: explode each clip into its voiced spans (the c18
+    * VAD operator as a stream stage — silence stripping at the door, so
+    * nothing downstream pays for silent audio). Stateless narrow map +
+    * generate: `pcm_segments` runs in the scan stage like every codec
+    * expression, explode emits one row per voiced span — no state, no
+    * shuffle, watermark-agnostic, so stream == batch by construction
+    * (StreamingParitySpec pins it). Downstream key: (clip_id,
+    * seg_start_ms). */
+  def segmentSpans(clips: DataFrame, frameMs: Int = 50,
+                   rmsThreshold: Double = 0.03): DataFrame =
+    clips.select(col("clip_id"), col("codec"), col("sr_hz"), col("event_time"),
+        explode(graft.functions.GraftFunctions.pcm_segments(
+          col("bytes"), col("codec"), col("sr_hz"), frameMs, rmsThreshold))
+          .as("seg"))
+      .select(col("clip_id"), col("codec"), col("sr_hz"), col("event_time"),
+        col("seg.seg_start_ms"), col("seg.seg_end_ms"))
+
   /** Stateful stream-stream LEFT OUTER join of the clip stream with the
     * late transcript-update stream (J1 re-expression): equi-join on
     * clip_id, time-bounded so state can be evicted by the watermark.

@@ -95,6 +95,36 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("segment-on-ingest: stream == batch, organic corpus one span per clip") {
+    // The VAD explode must be a pure stateless generate: segment rows
+    // sunk through the exactly-once table equal the batch plan's rows
+    // bit-for-bit, at a smaller-than-input trigger so multiple
+    // micro-batches are exercised.
+    val batchExpected = ClipStreamJob.segmentSpans(spark.read.parquet(inputDir))
+      .select("clip_id", "codec", "sr_hz", "seg_start_ms", "seg_end_ms")
+      .orderBy("clip_id", "seg_start_ms")
+      .collect().map(_.toSeq).toSeq
+    // fixture sanity: organic clips are voiced end-to-end => exactly one
+    // span per clip, starting at 0
+    val nClips = spark.read.parquet(inputDir).count()
+    assert(batchExpected.size == nClips)
+    assert(batchExpected.forall(_(3) == 0))
+
+    val tableDir = Files.createTempDirectory("sink-seg").toString
+    val ckpt = Files.createTempDirectory("ckpt-seg").toString
+    val table = ClipTable(tableDir, Seq("clip_id", "seg_start_ms"), numBuckets = 4)
+    val clips = ClipStreamJob.readClipStream(spark, inputDir, maxFilesPerTrigger = 2)
+    val q = ClipStreamJob.runToTable(
+      ClipStreamJob.segmentSpans(clips), table, ckpt,
+      Trigger.AvailableNow(), outputMode = "append")
+    q.awaitTermination(120000)
+    val got = table.read(spark)
+      .select("clip_id", "codec", "sr_hz", "seg_start_ms", "seg_end_ms")
+      .orderBy("clip_id", "seg_start_ms")
+      .collect().map(_.toSeq).toSeq
+    assert(got == batchExpected)
+  }
+
   test("windowed extraction golden rows: stream == batch, values ordered by clip_id") {
     val spec = graft.queries.ClipQueries.cardsSpec
     val extract = (df: org.apache.spark.sql.DataFrame) =>
