@@ -238,6 +238,38 @@ object AudioCodec {
     segs.toArray
   }
 
+  /** Silence REMOVAL: splice together the bytes of the voiced frames (as
+    * segmented by [[segmentsMs]] — same frame grid, same threshold,
+    * partial tail dropped) WITHOUT re-encoding: codec and rate are
+    * preserved, so the output length is frame-exact
+    * (voiced_frames * frame_bytes) and statable from byte arithmetic —
+    * the oracle contract of c19. Idempotent: voiced frames stay voiced
+    * under a second pass (their bytes are unchanged). */
+  def stripSilence(bytes: Array[Byte], codec: String, srHz: Int,
+                   frameMs: Int, rmsThreshold: Double): Array[Byte] = {
+    val segs = segmentsMs(bytes, codec, srHz, frameMs, rmsThreshold)
+    val fs = (srHz.toLong * frameMs / 1000).toInt
+    val frameBytes = fs * (codec match {
+      case Pcm16 => 2
+      case Ulaw | Alaw => 1
+      case other => throw new IllegalArgumentException(s"unknown codec: $other")
+    })
+    var outLen = 0
+    var i = 0
+    while (i < segs.length) {
+      outLen += (segs(i + 1) - segs(i)) / frameMs * frameBytes; i += 2
+    }
+    val out = new Array[Byte](outLen)
+    var pos = 0
+    i = 0
+    while (i < segs.length) {
+      val nb = (segs(i + 1) - segs(i)) / frameMs * frameBytes
+      System.arraycopy(bytes, segs(i) / frameMs * frameBytes, out, pos, nb)
+      pos += nb; i += 2
+    }
+    out
+  }
+
   /** Fused decode + Goertzel filterbank: per-band signal energy at
     * `nBands` evenly spaced center frequencies in (0, sr/2). One pass over
     * the bytes, `nBands` Goertzel recurrences running in parallel, zero

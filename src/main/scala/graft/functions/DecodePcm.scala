@@ -344,6 +344,35 @@ object PcmSegments {
     containsNull = false)
 }
 
+/** `pcm_strip_silence(bytes, codec, sr_hz) -> binary` — silence removal:
+  * the bytes of the voiced frames (same grid/threshold as
+  * `pcm_segments`), spliced without re-encoding. Codec and rate are
+  * preserved; output length is frame-exact, so the transform carries a
+  * byte-arithmetic length oracle (c19). */
+case class PcmStripSilence(first: Expression, second: Expression, third: Expression,
+    frameMs: Int = 50, rmsThreshold: Double = 0.03) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_strip_silence expects (binary, string, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm_strip_silence"
+  override def nullSafeEval(bytes: Any, codec: Any, sr: Any): Any =
+    AudioCodec.stripSilence(bytes.asInstanceOf[Array[Byte]],
+      codec.asInstanceOf[UTF8String].toString, sr.asInstanceOf[Int],
+      frameMs, rmsThreshold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, s) =>
+      s"${ev.value} = graft.audio.AudioCodec.stripSilence($b, $c.toString(), $s, " +
+        s"$frameMs, $rmsThreshold);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 object GraftFunctions {
   /** Expression -> Column bridge (Spark 4 classic API). */
   def toColumn(e: Expression): Column = Bridge.column(e)
@@ -365,6 +394,11 @@ object GraftFunctions {
   def pcm_segments(bytes: Column, codec: Column, srHz: Column,
                    frameMs: Int = 50, rmsThreshold: Double = 0.03): Column =
     toColumn(PcmSegments(toExpr(bytes), toExpr(codec), toExpr(srHz),
+      frameMs, rmsThreshold))
+
+  def pcm_strip_silence(bytes: Column, codec: Column, srHz: Column,
+                        frameMs: Int = 50, rmsThreshold: Double = 0.03): Column =
+    toColumn(PcmStripSilence(toExpr(bytes), toExpr(codec), toExpr(srHz),
       frameMs, rmsThreshold))
 
   def pcm_transcode(bytes: Column, codec: Column, target: Column): Column =
@@ -433,6 +467,8 @@ object GraftFunctions {
       es => PcmBandEnergies(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_segments",
       es => PcmSegments(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("pcm_strip_silence",
+      es => PcmStripSilence(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_transcode",
       es => PcmTranscode(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_resample",

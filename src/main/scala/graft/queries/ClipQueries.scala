@@ -34,6 +34,31 @@ object ClipQueries {
   private val AlawZeroHex =
     f"${graft.audio.AudioCodec.encode(Array(0f), graft.audio.AudioCodec.Alaw).head & 0xFF}%02x"
 
+  /** The c18/c19 planted corpus: organic clips plus, for id%20==2, a
+    * '-g' "gapped" variant [500ms silence][voiced][500ms silence][voiced]
+    * with the voiced span truncated to the 50ms frame grid — every VAD
+    * boundary becomes a pure integer function of (octet_length, codec,
+    * sr_hz) that the oracle states from byte arithmetic. Silence is the
+    * codec's own encode(0), built with repeat/unhex (no UDF; `_fb` =
+    * bytes per frame, sr DIV 2 samples = 500ms). */
+  private def gappedCorpus(clips: DataFrame): DataFrame = {
+    val base = clips.select(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
+    val gapped = base
+      .filter(expr("CAST(substr(clip_id, 6, 8) AS INT) % 20 = 2"))
+      .withColumn("_fb", expr(
+        "CAST(sr_hz DIV 20 AS BIGINT) * (CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END)"))
+      .withColumn("_voiced", expr(
+        "substring(bytes, 1, CAST(octet_length(bytes) DIV _fb * _fb AS INT))"))
+      .withColumn("_sil", expr(
+        s"unhex(repeat(CASE codec WHEN 'pcm16' THEN '0000' " +
+          s"WHEN 'ulaw' THEN '$UlawZeroHex' ELSE '$AlawZeroHex' END, " +
+          "CAST(sr_hz DIV 2 AS INT)))"))
+      .select(concat(col("clip_id"), lit("-g")).as("clip_id"),
+        concat(col("_sil"), col("_voiced"), col("_sil"), col("_voiced")).as("bytes"),
+        col("codec"), col("sr_hz"))
+    base.unionByName(gapped)
+  }
+
   /** The reference "persons cards" payload re-expressed (SURVEY.md §7.2.3):
     * the flagship extraction spec. */
   val cardsSpec: ExtractionSpec = ExtractionSpec("cards", Seq(
@@ -288,29 +313,26 @@ object ClipQueries {
     // (pcm16 zeros, G.711 companded zero) built with repeat/unhex — the
     // whole query is one fused codegen scan, no UDF.
     "c18_segments" -> ((s, dir) => {
-      val base = ClipGen.readClips(s, dir)
-        .select(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
-      val gapped = base
-        .filter(expr("CAST(substr(clip_id, 6, 8) AS INT) % 20 = 2"))
-        // bytes per 50ms frame / frame-truncated voiced span / 500ms of
-        // encoded silence (sr DIV 2 samples; '0000' is 2 bytes-per-sample
-        // for pcm16, one companded byte otherwise)
-        .withColumn("_fb", expr(
-          "CAST(sr_hz DIV 20 AS BIGINT) * (CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END)"))
-        .withColumn("_voiced", expr(
-          "substring(bytes, 1, CAST(octet_length(bytes) DIV _fb * _fb AS INT))"))
-        .withColumn("_sil", expr(
-          s"unhex(repeat(CASE codec WHEN 'pcm16' THEN '0000' " +
-            s"WHEN 'ulaw' THEN '$UlawZeroHex' ELSE '$AlawZeroHex' END, " +
-            "CAST(sr_hz DIV 2 AS INT)))"))
-        .select(concat(col("clip_id"), lit("-g")).as("clip_id"),
-          concat(col("_sil"), col("_voiced"), col("_sil"), col("_voiced")).as("bytes"),
-          col("codec"), col("sr_hz"))
-      base.unionByName(gapped)
+      gappedCorpus(ClipGen.readClips(s, dir))
         .select(col("clip_id"),
           explode(pcm_segments(col("bytes"), col("codec"), col("sr_hz"))).as("seg"))
         .select(col("clip_id"), col("seg.seg_start_ms"), col("seg.seg_end_ms"))
         .orderBy("clip_id", "seg_start_ms")
+    }),
+
+    // Silence REMOVAL (the transform twin of c18): pcm_strip_silence
+    // splices the voiced frames' bytes without re-encoding, so stripped
+    // length is frame-exact and the oracle states it from byte
+    // arithmetic: organic clips keep all full frames (vf*fs samples),
+    // gapped variants keep exactly their two voiced spans (2*vf*fs) —
+    // both silence blocks and the grid-truncated tails are gone.
+    "c19_strip_silence" -> ((s, dir) => {
+      gappedCorpus(ClipGen.readClips(s, dir))
+        .select(col("clip_id"),
+          pcm_sample_count(
+            pcm_strip_silence(col("bytes"), col("codec"), col("sr_hz")),
+            col("codec")).as("n_stripped"))
+        .orderBy("clip_id")
     }),
 
     // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
@@ -398,6 +420,19 @@ object ClipQueries {
            |SELECT clip_id || '-g', CAST(1000 + vf * 50 AS INTEGER),
            |       CAST(1000 + 2 * vf * 50 AS INTEGER) FROM c WHERE cls = 2
            |ORDER BY 1, 2""".stripMargin,
+      // stripped length = voiced full frames only, in samples
+      "c19_strip_silence" ->
+        s"""WITH c AS (
+           |  SELECT clip_id, sr_hz // 20 AS fs,
+           |    CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes) // 2
+           |         ELSE octet_length(bytes) END AS BIGINT)
+           |      // (sr_hz // 20) AS vf,
+           |    CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 AS cls
+           |  FROM $clips)
+           |SELECT clip_id, CAST(vf * fs AS INTEGER) AS n_stripped FROM c
+           |UNION ALL
+           |SELECT clip_id || '-g', CAST(2 * vf * fs AS INTEGER) FROM c WHERE cls = 2
+           |ORDER BY 1""".stripMargin,
       "c13_custom_sessions" ->
         s"""WITH ev AS (
            |  SELECT person_idx, epoch_ms(event_time) AS ms, dur_ms

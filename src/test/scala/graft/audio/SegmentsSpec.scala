@@ -68,6 +68,24 @@ class SegmentsSpec extends AnyFunSuite {
     assert(segs(quiet, "pcm16").isEmpty)
   }
 
+  test("stripSilence splices exactly the voiced frames' bytes; idempotent") {
+    for (codec <- AudioCodec.Codecs) {
+      val voiced1 = tone(Fs * 3)
+      val voiced2 = tone(Fs * 2, amp = 0.4f)
+      // trailing half-frame of silence exercises the tail drop too
+      val sig = silence(Fs * 2) ++ voiced1 ++ silence(Fs) ++ voiced2 ++
+        silence(Fs / 2)
+      val enc = AudioCodec.encode(sig, codec)
+      val stripped = AudioCodec.stripSilence(enc, codec, Sr, FrameMs, Thr)
+      // encoding is per-sample stateless, so splicing encoded voiced
+      // frames equals encoding the spliced signal
+      val expect = AudioCodec.encode(voiced1 ++ voiced2, codec)
+      assert(stripped.sameElements(expect), codec)
+      val again = AudioCodec.stripSilence(stripped, codec, Sr, FrameMs, Thr)
+      assert(again.sameElements(stripped), codec)
+    }
+  }
+
   test("unknown codec fails loudly like decode does") {
     intercept[IllegalArgumentException] {
       AudioCodec.segmentsMs(Array[Byte](1, 2), "mp3", Sr, FrameMs, Thr)
