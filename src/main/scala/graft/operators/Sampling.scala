@@ -114,6 +114,46 @@ object Sampling {
     df.filter(b < thr)
   }
 
+  /** Sequence PACKING (the pretraining-batch staple): concatenate each
+    * group's documents — in deterministic hash order — into one token
+    * stream and chunk it into fixed `seqLen` training sequences,
+    * emitting one row per (document, sequence) slice: a document whose
+    * tokens straddle a boundary appears once per sequence it touches,
+    * with `doc_start` / `slice_len` describing the cut. This is the
+    * GPT-style pack-then-split layout (no padding, no truncation loss).
+    *
+    * Deterministic by construction: the stream order is (md5-hex(id),
+    * id), so the packing is reproducible on any cluster and the oracle
+    * (t13) restates every slice with window arithmetic. One window
+    * shuffle on the group key; the running offset is an exclusive-frame
+    * sum, the slice explosion is `sequence()` over the touched sequence
+    * ids. Offsets use integral DIV (not double division — exact at
+    * 10^12-token stream lengths). Groups pack independently (the
+    * distributed shape: one stream per shard/language, not one global
+    * single-task window). Rows with tokens <= 0 are dropped. */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    tokensCol: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.filter(col(tokensCol) > 0)
+      .withColumn("_before",
+        coalesce(sum(col(tokensCol).cast("long")).over(w), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"_before DIV $seqLen"),
+        expr(s"(_before + $tokensCol - 1) DIV $seqLen"))))
+      .select(col(groupCol), col(idCol),
+        col("seq_id"),
+        greatest(lit(0L), col("seq_id") * seqLen - col("_before"))
+          .as("doc_start"),
+        (least(col(tokensCol).cast("long"),
+          (col("seq_id") + 1) * seqLen - col("_before")) -
+          greatest(lit(0L), col("seq_id") * seqLen - col("_before")))
+          .as("slice_len"))
+  }
+
   /** Skew-safe frequency capping: identical output to [[capPerGroup]],
     * built for corpora where one group holds a huge share of the rows (a
     * single window partition would serialize it onto one task). Two-phase

@@ -132,6 +132,19 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // Sequence PACKING (Sampling.packSequences): per language, the
+    // hash-ordered token stream chunked into 512-token training
+    // sequences, one row per (doc, sequence) slice — straddling docs
+    // split exactly at the boundary. The oracle restates every slice
+    // with the same exclusive-frame running sum + generate_series.
+    "t13_pack_sequences" -> ((s, dir) => {
+      val withTok = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"))
+      graft.operators.Sampling.packSequences(
+          withTok, "lang", "doc_id", "n_ws_tokens", seqLen = 512)
+        .orderBy("lang", "seq_id", "doc_id")
+    }),
+
     // TRAINED language-ID profiles (Cavnar-Trenkle fit over the labeled
     // corpus — the ROADMAP's "profile tables from a dataset" item): the
     // full (lang, gram, rank, n) profile table is oracled — normalize,
@@ -638,6 +651,26 @@ object DocQueries {
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 2000
         |ORDER BY lang, doc_id""".stripMargin,
+    "t13_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, lang, toks,
+        |    CAST(coalesce(sum(toks) OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS bfr
+        |  FROM d WHERE toks > 0)
+        |SELECT lang, doc_id, k AS seq_id,
+        |  greatest(CAST(0 AS BIGINT), k * 512 - bfr) AS doc_start,
+        |  least(toks, (k + 1) * 512 - bfr)
+        |    - greatest(CAST(0 AS BIGINT), k * 512 - bfr) AS slice_len
+        |FROM o, LATERAL (SELECT CAST(unnest(generate_series(
+        |  bfr // 512, (bfr + toks - 1) // 512)) AS BIGINT) AS k) g
+        |ORDER BY lang, seq_id, doc_id""".stripMargin,
     "t11_pii_scrub" ->
       """WITH planted AS (
         |  SELECT doc_id, text ||

@@ -132,6 +132,44 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.stratifiedSample(df, "grp", "id", Map("grp0" -> 1001)))
   }
 
+  test("packSequences: slices tile every doc, sequences fill to seqLen, deterministic") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 400)
+      .map(i => (i.toLong, s"g${i % 3}", 1L + rnd.nextInt(97)))
+      .toDF("id", "grp", "toks")
+    val L = 64
+    val packed = Sampling.packSequences(docs, "grp", "id", "toks", L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val toksOf = docs.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+
+    // each doc's slices tile [0, toks) contiguously across consecutive seqs
+    packed.groupBy(_._2).foreach { case (id, slices) =>
+      val s = slices.sortBy(_._3)
+      assert(s.map(_._3) == (s.head._3 to s.last._3), s"doc $id seq gap")
+      assert(s.head._4 == 0 && s.map(_._5).sum == toksOf(id), s"doc $id tiling")
+      // interior boundaries: cut exactly at multiples of L
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 + a._5 == b._4, s"doc $id cut")
+        case _ =>
+      }
+    }
+    // each (grp, seq) holds exactly L tokens except the group's last seq
+    packed.groupBy(p => (p._1, p._3)).foreach { case ((g, k), slices) =>
+      val lastSeq = packed.filter(_._1 == g).map(_._3).max
+      val total = slices.map(_._5).sum
+      if (k < lastSeq) assert(total == L, s"($g,$k) holds $total")
+      else assert(total >= 1 && total <= L)
+    }
+    // deterministic under repartitioning
+    val again = Sampling.packSequences(docs.repartition(17), "grp", "id",
+      "toks", L).as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(again.sortBy(p => (p._1, p._3, p._2)) ==
+      packed.sortBy(p => (p._1, p._3, p._2)))
+    intercept[IllegalArgumentException](
+      Sampling.packSequences(docs, "grp", "id", "toks", 0))
+  }
+
   test("scrubPii: planted spans redacted exactly; idempotent; organic text untouched") {
     val rows = Seq(
       (1L, "plain organic text with numbers 1234 and a plus + sign"),
