@@ -643,7 +643,38 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
 
   /** Current table contents (lineage columns included). MOR readers merge
     * the compacted base with all deltas, latest-batch-wins per key. */
-  def read(spark: SparkSession): DataFrame = {
+  def read(spark: SparkSession): DataFrame = readRawOpt(spark) match {
+    case None => spark.emptyDataFrame
+    case Some(raw) => if (!mergeOnRead) raw else morDedup(raw)
+  }
+
+  /** TIME-TRAVEL read (the Iceberg snapshot-read analog): the table as of
+    * batch `maxBatchId` — row versions written by batches <= the cut,
+    * resolved latest-wins among them. `_batch_id` rides every row as a
+    * data column through merges AND compaction folds, so the cut is a
+    * plain min/max-prunable predicate on the scan (per-batch delta dirs
+    * skip entirely).
+    *
+    * Exactness contract: on an uncompacted MOR table the snapshot is
+    * exact for ANY cut (all row versions still exist). Compaction — like
+    * Iceberg snapshot expiry — collapses superseded versions, and a COW
+    * merge does the same at write time; after either, an as-of read
+    * returns each key's oldest SURVIVING version at-or-below the cut and
+    * drops keys whose surviving version is newer. Repair-band batches
+    * (ClipTable.RepairBand+) sit above every stream epoch, so a
+    * stream-time cut naturally reads the pre-repair state. */
+  def readAsOf(spark: SparkSession, maxBatchId: Long): DataFrame =
+    readRawOpt(spark) match {
+      case None => spark.emptyDataFrame
+      case Some(raw) =>
+        val cut = raw.filter(col("_batch_id") <= maxBatchId)
+        if (!mergeOnRead) cut else morDedup(cut)
+    }
+
+  /** Live files as one un-resolved DataFrame (all surviving row
+    * versions), or None for an empty table — shared by [[read]] (resolve
+    * to latest) and [[readAsOf]] (cut first, then resolve). */
+  private def readRawOpt(spark: SparkSession): Option[DataFrame] = {
     if (Files.exists(formatFile)) {
       val have = Files.readString(formatFile).trim
       require(have == formatId,
@@ -664,7 +695,7 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
       live ++= deltaBatchDirs
         .filterNot(d => gcSet.contains(relOf(d))).map(_.toString)
     }
-    if (live.isEmpty) return spark.emptyDataFrame
+    if (live.isEmpty) return None
     // mergeSchema: batches may evolve the schema (add columns) — without
     // it the parquet reader takes ONE file's schema and silently drops
     // the others' new columns (COW unions by name on merge; MOR reads the
@@ -673,8 +704,7 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     // file count is bounded by compaction (base + <= maxDeltas deltas) so
     // this stays O(buckets + deltas), not O(history). A real Iceberg
     // catalog tracks the schema in table metadata and skips this walk.
-    val raw = spark.read.option("mergeSchema", "true").parquet(live.toSeq: _*)
-    if (!mergeOnRead) raw else morDedup(raw)
+    Some(spark.read.option("mergeSchema", "true").parquet(live.toSeq: _*))
   }
 
   /** Latest-batch-wins dedupe per key — the MOR resolution shared by

@@ -198,6 +198,45 @@ class ExactlyOnceSpec extends AnyFunSuite {
       "marker not cleared after sweep")
   }
 
+  test("readAsOf: exact snapshots pre-compaction; surviving-version semantics after") {
+    val dir = Files.createTempDirectory("tbl-asof").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 2, mergeOnRead = true,
+      gcGraceMs = 0L)
+    // batch 0: k0=0, s=0 | batch 1: k1=1, s=1 | batch 2: s=2, k2=2
+    t.merge(Seq(("k0", 0), ("s", 0)).toDF("k", "v"), 0)
+    t.merge(Seq(("k1", 1), ("s", 1)).toDF("k", "v"), 1)
+    t.merge(Seq(("s", 2), ("k2", 2)).toDF("k", "v"), 2)
+    def asOf(tt: ClipTable, b: Long) = tt.readAsOf(spark, b)
+      .select("k", "v").as[(String, Int)].collect().toMap
+    // uncompacted MOR: every historical snapshot is exact
+    assert(asOf(t, 0L) == Map("k0" -> 0, "s" -> 0))
+    assert(asOf(t, 1L) == Map("k0" -> 0, "k1" -> 1, "s" -> 1))
+    assert(asOf(t, 2L) == Map("k0" -> 0, "k1" -> 1, "k2" -> 2, "s" -> 2))
+    assert(asOf(t, 99L) == asOf(t, 2L)) // cut beyond head = current table
+    // after compaction (snapshot expiry): superseded versions of 's' are
+    // collapsed — the cut keeps each key's surviving version at-or-below
+    // it, so 's' (surviving version from batch 2) drops out of asOf(1)
+    t.compact(spark)
+    assert(asOf(t, 2L) == Map("k0" -> 0, "k1" -> 1, "k2" -> 2, "s" -> 2))
+    assert(asOf(t, 1L) == Map("k0" -> 0, "k1" -> 1))
+    // repair-band batches sit above any stream cut: a stream-time as-of
+    // still reads the pre-repair state
+    t.repair(Seq(("s", 42)).toDF("k", "v"))
+    assert(t.read(spark).select("k", "v").as[(String, Int)].collect().toMap
+      .apply("s") == 42)
+    assert(asOf(t, 2L)("s") == 2)
+    assert(asOf(t, ClipTable.RepairBand + 99)("s") == 42)
+
+    // COW: the merge collapses versions at write time — same
+    // surviving-version semantics as a compacted MOR table
+    val cdir = Files.createTempDirectory("tbl-asof-cow").toString
+    val c = ClipTable(cdir, Seq("k"), numBuckets = 2)
+    c.merge(Seq(("a", 0), ("s", 0)).toDF("k", "v"), 0)
+    c.merge(Seq(("s", 1)).toDF("k", "v"), 1)
+    assert(asOf(c, 0L) == Map("a" -> 0))
+    assert(asOf(c, 1L) == Map("a" -> 0, "s" -> 1))
+  }
+
   test("a table from an incompatible format version is refused, not corrupted") {
     // v1 (round 1) bucketed on space-joined keys and has no _format marker;
     // merging into it with the v2 layout would silently lose re-bucketed
