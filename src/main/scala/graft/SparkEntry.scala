@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{ClipQueries, DocQueries, ImageQueries, RelationalQueries}
+import graft.queries.{AudioContainerQueries, ClipQueries, DocQueries, ImageQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,7 @@ object SparkEntry {
     * training-data pipeline operators: dedup/similarity/text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ClipQueries.queries ++ DocQueries.queries ++
-      ImageQueries.queries
+      ImageQueries.queries ++ AudioContainerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +37,6 @@ object SparkEntry {
     * tables driver-side and are already scale-independent. */
   def oracleSqlFor(sfName: String): Map[String, String] =
     RelationalQueries.oracleSql ++ ClipQueries.oracleSqlFor(sfName) ++
-      DocQueries.oracleSql ++ ImageQueries.oracleSqlFor(sfName)
+      DocQueries.oracleSql ++ ImageQueries.oracleSqlFor(sfName) ++
+      AudioContainerQueries.oracleSqlFor(sfName)
 }

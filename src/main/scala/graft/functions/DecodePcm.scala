@@ -288,6 +288,61 @@ case class PcmQuality(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** `audio_meta(bytes)` -> struct(format, sr_hz, channels, bits,
+  * n_samples) — library-free container metadata for WAV / FLAC /
+  * MPEG-1-Layer-III / Ogg-Opus payloads (the audio analog of `image_meta`
+  * and `video_meta`; see [[graft.audio.AudioMeta]]). Null on unsupported
+  * or malformed payloads — row-level quality, never a job failure. */
+case class AudioMetaExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"audio_meta expects binary, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("format", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("sr_hz", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("channels", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("bits", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_samples",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_meta"
+  override def nullSafeEval(bytes: Any): Any =
+    graft.audio.AudioMeta.metaRow(bytes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = graft.audio.AudioMeta.metaRow($b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `wav_unwrap(bytes)` -> struct(codec, sr_hz, payload) — strip a mono
+  * WAV container whose format tag maps to this engine's codec set (PCM /
+  * G.711 A-law / mu-law), yielding raw bytes ready for decode_pcm and
+  * every pcm_* kernel: real containered ingest, not metadata-only. Null
+  * for non-WAV, multi-channel, or unsupported format tags. */
+case class WavUnwrap(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wav_unwrap expects binary, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codec", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("sr_hz", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("payload", BinaryType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_unwrap"
+  override def nullSafeEval(bytes: Any): Any =
+    graft.audio.AudioMeta.unwrapRow(bytes.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = graft.audio.AudioMeta.unwrapRow($b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Row packer for `pcm_segments` — a plain object so the generated Java
   * can call it as a static (`graft.functions.PcmSegRows.toRows`). */
 object PcmSegRows {
@@ -391,6 +446,10 @@ object GraftFunctions {
                         nBands: Int = 8): Column =
     toColumn(PcmBandEnergies(toExpr(bytes), toExpr(codec), toExpr(srHz), nBands))
 
+  def audio_meta(bytes: Column): Column = toColumn(AudioMetaExpr(toExpr(bytes)))
+
+  def wav_unwrap(bytes: Column): Column = toColumn(WavUnwrap(toExpr(bytes)))
+
   def pcm_segments(bytes: Column, codec: Column, srHz: Column,
                    frameMs: Int = 50, rmsThreshold: Double = 0.03): Column =
     toColumn(PcmSegments(toExpr(bytes), toExpr(codec), toExpr(srHz),
@@ -465,6 +524,10 @@ object GraftFunctions {
       es => PcmRms(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_band_energies",
       es => PcmBandEnergies(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_meta",
+      es => AudioMetaExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("wav_unwrap",
+      es => WavUnwrap(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_segments",
       es => PcmSegments(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_strip_silence",
