@@ -317,6 +317,32 @@ case class AudioMetaExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** `wav_wrap(bytes, codec, sr_hz) -> binary` — wrap raw codec bytes
+  * (mono) into a standard WAV file (PCM / G.711 A-law / mu-law format
+  * tags): the write half of containered interchange; see
+  * [[graft.audio.AudioMeta.wavWrap]]. */
+case class WavWrap(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == BinaryType && second.dataType == StringType &&
+      third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wav_wrap expects (binary, string, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_wrap"
+  override def nullSafeEval(bytes: Any, codec: Any, sr: Any): Any =
+    graft.audio.AudioMeta.wavWrap(bytes.asInstanceOf[Array[Byte]],
+      codec.asInstanceOf[UTF8String].toString, sr.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c, s) =>
+      s"${ev.value} = graft.audio.AudioMeta.wavWrap($b, $c.toString(), $s);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 /** `wav_unwrap(bytes)` -> struct(codec, sr_hz, payload) — strip a mono
   * WAV container whose format tag maps to this engine's codec set (PCM /
   * G.711 A-law / mu-law), yielding raw bytes ready for decode_pcm and
@@ -450,6 +476,9 @@ object GraftFunctions {
 
   def wav_unwrap(bytes: Column): Column = toColumn(WavUnwrap(toExpr(bytes)))
 
+  def wav_wrap(bytes: Column, codec: Column, srHz: Column): Column =
+    toColumn(WavWrap(toExpr(bytes), toExpr(codec), toExpr(srHz)))
+
   def pcm_segments(bytes: Column, codec: Column, srHz: Column,
                    frameMs: Int = 50, rmsThreshold: Double = 0.03): Column =
     toColumn(PcmSegments(toExpr(bytes), toExpr(codec), toExpr(srHz),
@@ -528,6 +557,8 @@ object GraftFunctions {
       es => AudioMetaExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("wav_unwrap",
       es => WavUnwrap(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("wav_wrap",
+      es => WavWrap(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_segments",
       es => PcmSegments(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("pcm_strip_silence",

@@ -144,6 +144,27 @@ object ClipStreamJob {
       .withColumn("sr_hz", lit(targetHz))
       .withColumn("codec", lit("pcm16"))
 
+  /** CONTAINER ingest: strip mono WAV containers at the door — rows whose
+    * bytes are WAV files (PCM / G.711 format tags) come out as raw codec
+    * rows with `codec` / `sr_hz` rewritten from the CONTAINER header, the
+    * exact input_hint shape every downstream stage expects; rows that are
+    * not unwrappable WAVs pass through untouched (already-raw payloads).
+    * A stateless narrow map (wav_unwrap runs in the scan stage), so
+    * stream == batch by construction — StreamingParitySpec proves it by
+    * wrapping the whole fixture and comparing windows bit-for-bit. */
+  def ingestWav(clips: DataFrame): DataFrame = {
+    val w = graft.functions.GraftFunctions.wav_unwrap(col("bytes"))
+    clips
+      .withColumn("_w", w)
+      .withColumn("bytes", when(col("_w").isNotNull, col("_w.payload"))
+        .otherwise(col("bytes")))
+      .withColumn("codec", when(col("_w").isNotNull, col("_w.codec"))
+        .otherwise(col("codec")))
+      .withColumn("sr_hz", when(col("_w").isNotNull, col("_w.sr_hz"))
+        .otherwise(col("sr_hz")))
+      .drop("_w")
+  }
+
   /** SEGMENT-ON-INGEST: explode each clip into its voiced spans (the c18
     * VAD operator as a stream stage — silence stripping at the door, so
     * nothing downstream pays for silent audio). Stateless narrow map +

@@ -95,6 +95,40 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("wav container ingest: unwrapped stream == raw batch, bit-for-bit") {
+    // Wrap the WHOLE fixture into WAV containers; ingestWav at the stream
+    // door must recover exactly the raw-corpus pipeline: windows over the
+    // unwrapped stream == the batch plan over the ORIGINAL raw clips.
+    val wrappedDir = Files.createTempDirectory("clips-wav").toString
+    val wrapped = spark.read.parquet(inputDir)
+      .withColumn("bytes", graft.functions.GraftFunctions.wav_wrap(
+        col("bytes"), col("codec"), col("sr_hz")))
+      // container metadata is authoritative on ingest: poison the columns
+      // to prove they are rewritten from the WAV header, not passed through
+      .withColumn("codec", lit("unknown"))
+      .withColumn("sr_hz", lit(-1))
+    graft.TestSpark.writeTimeOrdered(wrapped, wrappedDir, 6)
+
+    val batchExpected = Windows.tumblingCounts(spark.read.parquet(inputDir))
+      .orderBy("w_start_ms", "codec", "sr_hz")
+      .collect().map(_.toSeq).toSeq
+
+    val tableDir = Files.createTempDirectory("sink-wav").toString
+    val ckpt = Files.createTempDirectory("ckpt-wav").toString
+    val table = ClipTable(tableDir, Seq("w_start_ms", "codec", "sr_hz"), numBuckets = 4)
+    val q = ClipStreamJob.runToTable(
+      ClipStreamJob.tumblingCounts(
+        ClipStreamJob.ingestWav(
+          ClipStreamJob.readClipStream(spark, wrappedDir, maxFilesPerTrigger = 2))),
+      table, ckpt, Trigger.AvailableNow(), outputMode = "update")
+    q.awaitTermination(120000)
+    val got = table.read(spark)
+      .select("w_start_ms", "codec", "sr_hz", "n_clips", "sum_dur_ms")
+      .orderBy("w_start_ms", "codec", "sr_hz")
+      .collect().map(_.toSeq).toSeq
+    assert(got == batchExpected)
+  }
+
   test("segment-on-ingest: stream == batch, organic corpus one span per clip") {
     // The VAD explode must be a pure stateless generate: segment rows
     // sunk through the exactly-once table equal the batch plan's rows
