@@ -521,6 +521,11 @@ object GraftFunctions {
 
   def image_dhash(bytes: Column): Column = toColumn(ImageDhash(toExpr(bytes)))
 
+  /** HLL register-file aggregate (see [[HllRegistersAgg]]); use inside
+    * groupBy(...).agg(...). */
+  def hll_registers(c: Column, p: Int = 12): Column =
+    toColumn(HllRegistersAgg(toExpr(c), p).toAggregateExpression())
+
   def lang_id(text: Column): Column = toColumn(LangId(toExpr(text)))
   def lang_id_ngram(text: Column): Column = toColumn(LangIdNgram(toExpr(text)))
   def rel_url(base: Column, rel: Column): Column =

@@ -145,6 +145,23 @@ object DocQueries {
         .orderBy("lang", "seq_id", "doc_id")
     }),
 
+    // HLL vocabulary sketch (HllRegistersAgg): per-language distinct-token
+    // cardinality as a FIXED 4 KB register file per group — the
+    // distributed-sketch primitive (exact count-distinct shuffles every
+    // key; the sketch shuffles kilobytes). The hash is the oracle-portable
+    // md5 lower half, so the ORACLE REBUILDS THE REGISTER FILE in SQL and
+    // verifies every byte — the exact artifact a wrong partial-aggregate
+    // merge would corrupt. Estimation accuracy is spec-tested separately
+    // (HllSketchSpec); the oracled surface is the registers.
+    "t14_hll_vocab" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("lang").agg(hll_registers(col("tok")).as("regs"))
+        .select(col("lang"), posexplode(col("regs")).as(Seq("idx", "reg")))
+        .filter(col("reg") > 0)
+        .orderBy("lang", "idx")
+    }),
+
     // TRAINED language-ID profiles (Cavnar-Trenkle fit over the labeled
     // corpus — the ROADMAP's "profile tables from a dataset" item): the
     // full (lang, gram, rank, n) profile table is oracled — normalize,
@@ -671,6 +688,24 @@ object DocQueries {
         |FROM o, LATERAL (SELECT CAST(unnest(generate_series(
         |  bfr // 512, (bfr + toks - 1) // 512)) AS BIGINT) AS k) g
         |ORDER BY lang, seq_id, doc_id""".stripMargin,
+    // the register file, rebuilt in SQL: idx = top 12 hash bits, rho =
+    // leading zeros of the remaining 52 + 1 (bin() gives the bit length),
+    // register = max rho — 2^52 = 4503599627370496
+    "t14_hll_vocab" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT lang, md5_number_lower(tok) AS h FROM tok),
+        |r AS (
+        |  SELECT lang,
+        |    CAST(h // 4503599627370496::UBIGINT AS INTEGER) AS idx,
+        |    CAST(CASE WHEN h % 4503599627370496::UBIGINT = 0::UBIGINT THEN 53
+        |         ELSE 53 - length(bin(h % 4503599627370496::UBIGINT))
+        |         END AS INTEGER) AS rho
+        |  FROM h)
+        |SELECT lang, idx, CAST(max(rho) AS INTEGER) AS reg
+        |FROM r GROUP BY lang, idx
+        |ORDER BY lang, idx""".stripMargin,
     "t11_pii_scrub" ->
       """WITH planted AS (
         |  SELECT doc_id, text ||
