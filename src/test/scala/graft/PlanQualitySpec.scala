@@ -349,6 +349,44 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("c18/c19: exactly one VAD kernel site; bytes stay in the scan stage") {
+    // The segmentation family is a fused single-scan design: one
+    // pcm_segments (c18) / pcm_strip_silence (c19) evaluation site in
+    // the whole executed plan, and the binary column must never cross a
+    // shuffle (the sort exchange carries only (clip_id, ints)).
+    def sites(df: org.apache.spark.sql.DataFrame,
+              pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean): Int = {
+      var n = 0
+      allPlanNodes(df.queryExecution).foreach {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => ()
+        case node => node.expressions.foreach(_.foreach {
+          case e if pred(e) => n += 1
+          case _ => ()
+        })
+      }
+      n
+    }
+    val c18 = SparkEntry.queries("c18_segments")(spark, sf)
+    val c19 = SparkEntry.queries("c19_strip_silence")(spark, sf)
+    // The corpus is a 2-branch Union (organic + gapped): the contract is
+    // ONE kernel evaluation per row, which the optimizer may realize as a
+    // single site above the Union (c18's Generate) or one site pushed
+    // into EACH branch (c19's collapsed Projects) — both are the fused
+    // single-pass plan; anything else (0, or >branches) is a regression.
+    assert(Set(1, 2).contains(
+      sites(c18, _.isInstanceOf[graft.functions.PcmSegments])))
+    assert(Set(1, 2).contains(
+      sites(c19, _.isInstanceOf[graft.functions.PcmStripSilence])))
+    for ((df, name) <- Seq((c18, "c18"), (c19, "c19"))) {
+      val offending = allPlanNodes(df.queryExecution).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.child.output.exists(_.dataType ==
+            org.apache.spark.sql.types.BinaryType) => e
+      }
+      assert(offending.isEmpty, s"$name shuffles a binary column")
+    }
+  }
+
   test("i1: image quality scoring never shuffles image bytes") {
     val plan = SparkEntry.queries("i1_image_quality")(spark, sf)
       .queryExecution.executedPlan
