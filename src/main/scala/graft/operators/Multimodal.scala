@@ -84,8 +84,26 @@ object Multimodal {
       it.map { a =>
         a.kind match {
           case "audio" =>
-            val bands = graft.audio.AudioCodec.bandEnergies(a.bytes, a.codec, 8000, 8)
-            MediaFeature(a.asset_id, a.kind, bands.map(_.toFloat), 0, 0, 0)
+            // CONTAINER-aware, same policy as images: a mono WAV payload
+            // unwraps to raw codec bytes with the container header
+            // authoritative for (codec, sr) — the ingestWav semantics;
+            // raw payloads pass through; compressed containers
+            // (flac/mp3/ogg — no decoder in this environment, only
+            // audio_meta parses them) and corrupt payloads fall back to
+            // the stub instead of throwing out of mapPartitions.
+            val (payload, codec, sr) =
+              graft.audio.AudioMeta.wavUnwrap(a.bytes) match {
+                case Some((c, s, p)) => (p, c, s)
+                case None => (a.bytes, a.codec, 8000)
+              }
+            scala.util.Try(
+                graft.audio.AudioCodec.bandEnergies(payload, codec, sr, 8)) match {
+              case scala.util.Success(bands) =>
+                MediaFeature(a.asset_id, a.kind, bands.map(_.toFloat), 0, 0, 0)
+              case scala.util.Failure(_) =>
+                MediaFeature(a.asset_id, a.kind,
+                  MediaKernels.decodeImageStub(a.bytes, 8, 1), 0, 0, 0)
+            }
           case "image" =>
             // REAL path for netpbm (direct raster parse) AND compressed
             // JPEG/PNG/GIF/BMP (JDK decoder); a corrupt payload — or a

@@ -28,6 +28,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.map(_.feature.toSeq).toSeq == feats.map(_.feature.toSeq).toSeq)
   }
 
+  test("audio features are container-aware: WAV == raw; compressed falls back") {
+    val raw = graft.audio.AudioCodec.encode(
+      graft.audio.AudioSynth.synth(11L, 8000, 4000), "ulaw")
+    val wav = graft.audio.AudioMeta.wavWrap(raw, "ulaw", 8000)
+    val flac = graft.fixtures.MixedAudioGen.flacBytes(8000, 1, 16, 4000L, 5L)
+    val assets = Seq(
+      Multimodal.MediaAsset("a-raw", "audio", raw, 0, 0, 0, "ulaw"),
+      // containered twin: codec metadata poisoned — the header must win
+      Multimodal.MediaAsset("a-wav", "audio", wav, 0, 0, 0, "unknown"),
+      Multimodal.MediaAsset("a-flac", "audio", flac, 0, 0, 0, "unknown"))
+      .toDS()
+    val f = Multimodal.extractFeatures(assets).collect()
+      .map(x => x.asset_id -> x.feature.toSeq).toMap
+    assert(f("a-wav") == f("a-raw"),
+      "wav-wrapped audio diverged from its raw twin")
+    assert(f("a-flac").length == 8, "compressed container did not fall back")
+  }
+
   test("image features use the REAL netpbm path, not the stub") {
     import graft.image.ImageCodec
     // a constant mid-gray PPM must produce a constant mid-gray thumbnail —
