@@ -114,6 +114,40 @@ object Sampling {
     df.filter(b < thr)
   }
 
+  /** Training-MIX composition to exact target proportions ("make the mix
+    * 40% en / 30% zh / 30% es, as large as the corpus allows"): finds the
+    * LARGEST total T such that every stratum can supply its share, takes
+    * exactly floor(w_s * T / 1000) rows per stratum by deterministic
+    * hash priority. Weights are integer PERMILLE so the feasibility
+    * arithmetic (T = min_s floor(n_s * 1000 / w_s)) is integer-exact on
+    * any engine — the oracle (t15) restates the whole computation,
+    * quotas included, in SQL. Strata not in `weightsPermille` are
+    * dropped (weight 0). Fully declarative: counts aggregate + broadcast
+    * quota join + one window shuffle — no driver-side collect, so the
+    * stratum count can be millions (domains, not just languages). */
+  def mixToProportions(df: DataFrame, stratumCol: String, idCol: String,
+                       weightsPermille: Map[String, Int]): DataFrame = {
+    require(weightsPermille.nonEmpty && weightsPermille.values.forall(_ > 0),
+      s"weights must be positive permille: $weightsPermille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = weightsPermille.toSeq.toDF(stratumCol, "_w")
+    val quota = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+      .join(weights, stratumCol) // inner: unweighted strata drop out
+      .withColumn("_t", expr("_n * 1000 DIV _w"))
+    val tMin = quota.agg(min(col("_t")).as("_tmin"))
+    val keeps = quota.crossJoin(broadcast(tMin))
+      .withColumn("_keep", expr("_w * _tmin DIV 1000"))
+      .select(col(stratumCol), col("_keep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.join(broadcast(keeps), stratumCol)
+      .withColumn("_mix_rn", row_number().over(w))
+      .filter(col("_mix_rn") <= col("_keep"))
+      .drop("_mix_rn", "_keep")
+  }
+
   /** Sequence PACKING (the pretraining-batch staple): concatenate each
     * group's documents — in deterministic hash order — into one token
     * stream and chunk it into fixed `seqLen` training sequences,

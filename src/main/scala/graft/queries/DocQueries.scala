@@ -145,6 +145,18 @@ object DocQueries {
         .orderBy("lang", "seq_id", "doc_id")
     }),
 
+    // Training-MIX composition (Sampling.mixToProportions): the largest
+    // 40/30/30 en/zh/es mix the corpus can supply, exact kept set by
+    // hash priority — feasibility (T = min n_s*1000 DIV w_s), quotas
+    // (w_s*T DIV 1000) and membership all integer arithmetic the oracle
+    // restates end-to-end.
+    "t15_mixture" -> ((s, dir) => {
+      graft.operators.Sampling.mixToProportions(
+          docs(s, dir).select("doc_id", "lang"), "lang", "doc_id",
+          Map("en" -> 400, "zh" -> 300, "es" -> 300))
+        .orderBy("doc_id")
+    }),
+
     // HLL vocabulary sketch (HllRegistersAgg): per-language distinct-token
     // cardinality as a FIXED 4 KB register file per group — the
     // distributed-sketch primitive (exact count-distinct shuffles every
@@ -688,6 +700,18 @@ object DocQueries {
         |FROM o, LATERAL (SELECT CAST(unnest(generate_series(
         |  bfr // 512, (bfr + toks - 1) // 512)) AS BIGINT) AS k) g
         |ORDER BY lang, seq_id, doc_id""".stripMargin,
+    "t15_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('en', 400), ('zh', 300), ('es', 300))
+        |        AS t(lang, wt)),
+        |q AS (SELECT c.lang, wt, n * 1000 // wt AS t FROM c JOIN w USING (lang)),
+        |tm AS (SELECT min(t) AS tmin FROM q),
+        |k AS (SELECT lang, wt * tmin // 1000 AS keep FROM q, tm)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN k USING (lang)
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY d.lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= keep
+        |ORDER BY doc_id""".stripMargin,
     // the register file, rebuilt in SQL: idx = top 12 hash bits, rho =
     // leading zeros of the remaining 52 + 1 (bin() gives the bit length),
     // register = max rho — 2^52 = 4503599627370496

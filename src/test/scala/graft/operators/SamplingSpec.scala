@@ -132,6 +132,31 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.stratifiedSample(df, "grp", "id", Map("grp0" -> 1001)))
   }
 
+  test("mixToProportions: exact maximal mix at the target weights") {
+    // strata of 500/120/80; weights 50/25/25 (permille scale x10):
+    // T = min(500*1000/500, 120*1000/250, 80*1000/250) = min(1000,480,320)=320
+    // keeps = 160/80/80 — exact proportions, gated by the scarcest stratum
+    val df = ((0 until 500).map(i => (i.toLong, "a")) ++
+      (1000 until 1120).map(i => (i.toLong, "b")) ++
+      (2000 until 2080).map(i => (i.toLong, "c")) ++
+      (3000 until 3050).map(i => (i.toLong, "unweighted")))
+      .toDF("id", "grp")
+    val mix = Sampling.mixToProportions(df, "grp", "id",
+      Map("a" -> 500, "b" -> 250, "c" -> 250))
+      .select("id", "grp").as[(Long, String)].collect().toSeq
+    val by = mix.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(by == Map("a" -> 160, "b" -> 80, "c" -> 80), by.toString)
+    // maximality: the binding stratum (c: 80 rows) is taken WHOLE
+    assert(mix.count(_._2 == "c") == 80)
+    // deterministic under repartitioning
+    val again = Sampling.mixToProportions(df.repartition(13), "grp", "id",
+      Map("a" -> 500, "b" -> 250, "c" -> 250))
+      .select("id", "grp").as[(Long, String)].collect().toSeq
+    assert(again.sorted == mix.sorted)
+    intercept[IllegalArgumentException](
+      Sampling.mixToProportions(df, "grp", "id", Map("a" -> 0)))
+  }
+
   test("packSequences: slices tile every doc, sequences fill to seqLen, deterministic") {
     val rnd = new scala.util.Random(7)
     val docs = (0 until 400)
