@@ -356,6 +356,21 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PRODUCT QUANTIZATION ANN (Pq.adcKnn): the memory-bound compressed
+    // scan — 64-dim vectors become 8 code indices, query-candidate
+    // distance = 8 ADC table lookups, floats never ride the candidate
+    // join; exact quantized-cosine re-rank on the topC ADC candidates
+    // (same tail as LSH/IVF). Oracled hash-exact against the same
+    // brute-force SQL: topC=128 over the fixture provably covers the
+    // true top-5, so the compressed path must land the identical answer.
+    "s7_knn_pq" -> ((s, dir) => {
+      val e = augEmb(s, dir)
+      val books = graft.operators.Pq.fit(e, "embedding", m = 8, k = 16)
+      graft.operators.Pq.adcKnn(e, e.filter(col("vec_id") < 8), k = 5,
+        books, topC = 128)
+        .orderBy("query_id", "rank")
+    }),
+
     // PERSISTED IVF index (build-once/search-many): cells partitioned by
     // cell id on disk; the probe set becomes a static PARTITION filter so
     // only probed directories are read (~nProbe/nList of the corpus).
@@ -805,7 +820,8 @@ object DocQueries {
     "s2_knn_lsh" -> augKnnOracleSql,
     "s4_knn_ivf_bulk" -> augKnnOracleSql,
     "s5_knn_ivf_index" -> augKnnOracleSql,
-    "s6_knn_ivf_index_bulk" -> augKnnOracleSql)
+    "s6_knn_ivf_index_bulk" -> augKnnOracleSql,
+    "s7_knn_pq" -> augKnnOracleSql)
 
   private lazy val augKnnOracleSql: String =
     s"""WITH aug AS (

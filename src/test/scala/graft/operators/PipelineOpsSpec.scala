@@ -624,4 +624,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"mean recall@10 = $mean") // 4-bit LSH, 1/16 of pairs scored
   }
+
+  test("PQ: compressed ADC top-k == brute force; deterministic; codegen-portable") {
+    val queries = embAug.filter($"vec_id" < 8)
+    val books = Pq.fit(embAug, "embedding", m = 8, k = 16)
+    // deterministic codebooks: same fit twice is bit-identical
+    val books2 = Pq.fit(embAug, "embedding", m = 8, k = 16)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+
+    val pq = Pq.adcKnn(embAug, queries, k = 5, books, topC = 128)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteForceKnn(embAug, queries, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(pq == brute, "PQ+re-rank diverged from exact brute force")
+    // stable under repartitioning
+    val again = Pq.adcKnn(embAug.repartition(9), queries, k = 5, books,
+      topC = 128).orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(again == pq)
+
+    // hand math: encode/lut/adc agree — ADC(v, v) is the quantization
+    // distortion, which must be the MINIMUM over all corpus codes for
+    // most vectors (sanity of the table construction)
+    val v = embAug.orderBy("vec_id").limit(1).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val codes = Pq.encode(v, books)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    val lut = Pq.lut(v, books)
+    assert(lut.length == 8 * 16)
+    val self = Pq.adc(codes, lut)
+    val manual = (0 until 8).map(b => lut(b * 16 + codes(b))).sum
+    assert(math.abs(self - manual) < 1e-6)
+
+    // cluster portability: the codebooks ride a serialization roundtrip
+    // and still evaluate via GENERATED code
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def roundtrip[T <: AnyRef](t: T): T = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(t); oos.close()
+      new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[T]
+    }
+    val in = BoundReference(0, ArrayType(FloatType, containsNull = false), nullable = false)
+    val remote = roundtrip(PqEncode(in, books): AnyRef).asInstanceOf[PqEncode]
+    val proj = GenerateMutableProjection.generate(Seq(remote))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(v.map(x => x: Any))))
+    val out = proj(row).getArray(0).toIntArray()
+    assert(out.toSeq == codes.toSeq)
+  }
 }
