@@ -177,6 +177,26 @@ object Dedup {
     * rows not in any pair are their own canonical id by definition and
     * are not emitted (join the corpus with a coalesce to materialize the
     * full keep-list). */
+  /** Quality-aware canonical selection — the step between clustering and
+    * dropping that a real pipeline runs: per duplicate cluster
+    * ([[components]]/[[componentsStar]] output), keep the member with the
+    * HIGHEST quality score (ties -> lowest id), not the lowest id. Two
+    * bounded shuffles on the cluster label (per-cluster argmax + the
+    * mapping join); quality rides a plain id join, so any scoring column
+    * (length, language confidence, model score) plugs in. Returns
+    * (id, keep_id) for every clustered id. */
+  def keepBest(labels: DataFrame, quality: DataFrame, idCol: String,
+               qualityCol: String, labelCol: String = "canonical_id"): DataFrame = {
+    val withQ = labels
+      .join(quality.select(col(idCol).as("id"), col(qualityCol).as("_q")), "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol)).orderBy(col("_q").desc, col("id"))
+    val best = withQ.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(labelCol), col("id").as("keep_id"))
+    withQ.join(best, labelCol).select(col("id"), col("keep_id"))
+  }
+
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                  maxIters: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -271,6 +271,21 @@ object DocQueries {
       Dedup.components(pairs).orderBy("id")
     }),
 
+    // Quality-aware canonical selection (Dedup.keepBest): per duplicate
+    // cluster keep the HIGHEST-quality member (here: longest text, ties
+    // -> lowest id), not the lowest id — the real "which copy survives"
+    // policy. Oracled end-to-end: the same RECURSIVE closure plus an
+    // argmax window in SQL.
+    "d7_keep_best" -> ((s, dir) => {
+      val aug = augmented(s, dir)
+      val pairs = Dedup.nearDupJaccard(aug, "text", "doc_id",
+        threshold = 0.5, k = 32, bands = 16)
+      Dedup.keepBest(Dedup.components(pairs),
+          aug.withColumn("n_chars", length(col("text"))),
+          "doc_id", "n_chars")
+        .orderBy("id")
+    }),
+
     // Same canonicalization, computed by alternating large-star/small-star
     // contraction (O(log n) rounds vs min-label's O(diameter) — the deep-
     // graph variant) against the SAME RECURSIVE-closure oracle: both
@@ -588,6 +603,25 @@ object DocQueries {
     // through the dup graph — must equal the engine's iterative min-label
     // propagation exactly.
     "d5_dup_clusters" -> dupClustersOracleSql,
+    "d7_keep_best" ->
+      s"""WITH RECURSIVE $augmentedSql,
+         |${tokSql("aug")},
+         |$jacPairsSql,
+         |prs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(id, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |lab AS (SELECT id, min(m) AS label FROM reach GROUP BY id),
+         |q AS (SELECT l.id, l.label, length(a.text) AS ql
+         |      FROM lab l JOIN aug a ON a.doc_id = l.id),
+         |best AS (SELECT label, id AS keep_id FROM q
+         |         QUALIFY row_number() OVER (
+         |           PARTITION BY label ORDER BY ql DESC, id) = 1)
+         |SELECT q.id, b.keep_id FROM q JOIN best b USING (label)
+         |ORDER BY q.id""".stripMargin,
     // d6 runs the star-contraction algorithm against the SAME closure
     // oracle — an independent SQL derivation both engine algorithms must
     // match exactly.
