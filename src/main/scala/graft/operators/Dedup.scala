@@ -155,6 +155,54 @@ object Dedup {
         floor(col("jaccard") * 1e4).cast("long").as("jaccard_x1e4"))
   }
 
+  /** INCREMENTAL near-dup: the pairs a DELTA introduces against an
+    * existing corpus — the append-only case (a daily ingest batch checked
+    * against everything already ingested) where re-pairing corpus x
+    * corpus would redo quadratic work for a sliver of new rows. The
+    * corpus pays ONE signature scan; candidates come from joining the
+    * banded buckets against the BROADCAST banded delta (delta-sized,
+    * never corpus-sized), so corpus-corpus pairs cannot form. The verify
+    * stage is [[nearDupJaccard]]'s exact-Jaccard on rehydrated candidate
+    * texts (always the semi-join reduction: the corpus here is by
+    * definition the big side). On a corpus whose every duplicate involves
+    * the delta, the output equals the batch operator's — exactly what the
+    * d8 oracle states. */
+  def nearDupJaccardIncremental(corpus: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.7,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def banded(df: DataFrame) = df
+      .select(col(idCol).as("id"), min_hash(col(textCol), lit(k)).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
+          .as(Seq("band", "bhash")))
+    val db = banded(delta)
+    val cands = banded(corpus).unionByName(db)
+      .join(broadcast(db.withColumnRenamed("id", "id_d")), Seq("band", "bhash"))
+      .filter(col("id") =!= col("id_d"))
+      // delta-delta pairs arise in both join orders: normalize + distinct
+      .select(least(col("id"), col("id_d")).as("id_a"),
+        greatest(col("id"), col("id_d")).as("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val texts = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+      .unionByName(delta.select(col(idCol).as("id"), col(textCol).as("text")))
+      .dropDuplicates("id")
+    def side(s: String, out: String) = texts
+      .join(broadcast(cands.select(col(s).as("id")).distinct()),
+        Seq("id"), "leftsemi")
+      .select(col("id").as(s), col("text").as(out))
+    cands
+      .join(side("id_a", "text_a"), "id_a")
+      .join(side("id_b", "text_b"), "id_b")
+      .withColumn("jaccard", jaccard_sim(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * 1e4).cast("long").as("jaccard_x1e4"))
+  }
+
   /** Duplicate-CLUSTER canonicalization: connected components over an
     * undirected near-dup pair list — every id is assigned the MINIMUM id
     * reachable through the pair graph, i.e. the canonical representative

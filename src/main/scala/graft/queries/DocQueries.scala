@@ -260,6 +260,26 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL near-dup (Dedup.nearDupJaccardIncremental): the planted
+    // twins arrive as a DELTA against the raw corpus — the daily-ingest
+    // shape, where the corpus pays one signature scan and only
+    // delta-touching pairs can form. The oracle is d2's exact all-pairs
+    // SQL RESTRICTED to pairs with a delta member (delta ids live in the
+    // +1e6/+2e6 bands): exactly the pairs the delta introduces. The
+    // corpus's 25 organic pairs are correctly ABSENT — they predate the
+    // delta and belong to whichever earlier batch found them.
+    "d8_neardup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val delta = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" appended tail marker words")).as("text")))
+      Dedup.nearDupJaccardIncremental(d, delta, "text", "doc_id",
+        threshold = 0.5, k = 32, bands = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Duplicate-CLUSTER canonicalization: connected components over the
     // near-dup pair graph (iterative min-label propagation) — the
     // keep-list primitive a curation pass consumes once duplicates chain
@@ -598,6 +618,15 @@ object DocQueries {
          |$jacPairsSql
          |SELECT id_a, id_b, CAST(floor(j * 1e4) AS BIGINT) AS jaccard_x1e4
          |FROM jac WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // the exact all-pairs truth restricted to delta-touching pairs
+    // (delta ids are in the +1e6/+2e6 bands)
+    "d8_neardup_incremental" ->
+      s"""WITH $augmentedSql,
+         |${tokSql("aug")},
+         |$jacPairsSql
+         |SELECT id_a, id_b, CAST(floor(j * 1e4) AS BIGINT) AS jaccard_x1e4
+         |FROM jac WHERE j >= 0.5 AND (id_a >= 1000000 OR id_b >= 1000000)
+         |ORDER BY id_a, id_b""".stripMargin,
     // RECURSIVE transitive closure over the SAME exact pair set d2
     // oracles: every node's canonical id = the minimum id reachable
     // through the dup graph — must equal the engine's iterative min-label
