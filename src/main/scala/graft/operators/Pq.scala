@@ -130,6 +130,36 @@ object Pq {
     * quantized-cosine re-rank on rehydrated vectors (same scoreTopK tail
     * as the LSH/IVF family, so results are engine-exact when topC covers
     * the true top-k). */
+  /** IVF-PQ — the FAISS IVFPQ composition: the coarse quantizer restricts
+    * the search to `nProbe` cells (the IVF side), PQ-ADC ranks the probed
+    * cells' compressed codes, exact quantized-cosine re-rank on the topC
+    * survivors. At corpus scale the candidate scan reads nProbe/nList of
+    * the rows at m code-bytes per vector instead of the whole corpus at
+    * full float width; only (id, cell, codes) ever rides the candidate
+    * join. */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
+               nProbe: Int, topC: Int = 128,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val codesCells = c.select(col("cand_id"),
+      Ivf.cellCol(col("cv"), cents).as("cell"),
+      encodeCol(col("cv"), books).as("codes"))
+    val qProbe = q.select(col("query_id"),
+      explode(Ivf.probeCol(col("qv"), cents, nProbe)).as("cell"),
+      lutCol(col("qv"), books).as("lut"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    val cands = codesCells.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("adc", adcCol(col("codes"), col("lut")))
+      .withColumn("_crank", row_number().over(wAdc))
+      .filter(col("_crank") <= topC)
+      .select(col("query_id"), col("cand_id"))
+    Similarity.scoreTopK(cands, q, c, k)
+  }
+
   def adcKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              books: Array[Array[Array[Float]]], topC: Int = 128,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -406,6 +406,20 @@ object DocQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ (Pq.ivfPqKnn) — the FAISS IVFPQ composition: coarse cells
+    // restrict the search (s3's recall-1.0 probe params), ADC ranks the
+    // probed cells' compressed codes, exact re-rank on the survivors.
+    // Same brute-force oracle: the composed approximate path must land
+    // the identical answer.
+    "s8_knn_ivfpq" -> ((s, dir) => {
+      val e = augEmb(s, dir)
+      val cents = graft.operators.Ivf.fit(e, "embedding", nList = 32)
+      val books = graft.operators.Pq.fit(e, "embedding", m = 8, k = 16)
+      graft.operators.Pq.ivfPqKnn(e, e.filter(col("vec_id") < 8), k = 5,
+        cents, books, nProbe = 10, topC = 128)
+        .orderBy("query_id", "rank")
+    }),
+
     // PERSISTED IVF index (build-once/search-many): cells partitioned by
     // cell id on disk; the probe set becomes a static PARTITION filter so
     // only probed directories are read (~nProbe/nList of the corpus).
@@ -884,7 +898,8 @@ object DocQueries {
     "s4_knn_ivf_bulk" -> augKnnOracleSql,
     "s5_knn_ivf_index" -> augKnnOracleSql,
     "s6_knn_ivf_index_bulk" -> augKnnOracleSql,
-    "s7_knn_pq" -> augKnnOracleSql)
+    "s7_knn_pq" -> augKnnOracleSql,
+    "s8_knn_ivfpq" -> augKnnOracleSql)
 
   private lazy val augKnnOracleSql: String =
     s"""WITH aug AS (

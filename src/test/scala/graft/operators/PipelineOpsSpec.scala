@@ -675,4 +675,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     val out = proj(row).getArray(0).toIntArray()
     assert(out.toSeq == codes.toSeq)
   }
+
+  test("IVF-PQ: composed coarse+compressed path == brute force, deterministic") {
+    val queries = embAug.filter($"vec_id" < 8)
+    val cents = Ivf.fit(embAug, "embedding", nList = 32)
+    val books = Pq.fit(embAug, "embedding", m = 8, k = 16)
+    val ivfpq = Pq.ivfPqKnn(embAug, queries, k = 5, cents, books,
+      nProbe = 10, topC = 128)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteForceKnn(embAug, queries, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ivfpq == brute, "IVF-PQ diverged from exact brute force")
+    val again = Pq.ivfPqKnn(embAug.repartition(7), queries, k = 5, cents,
+      books, nProbe = 10, topC = 128)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(again == ivfpq)
+  }
 }
