@@ -700,6 +700,83 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Ingest-time acoustic fingerprint table: (id, sr, n, f1, f2) — ONE
+    * DSP scan per clip, ever. A pipeline stores this next to the bytes at
+    * ingest (the decode-once discipline) and every later incremental
+    * batch pairs against the fingerprint TABLE without re-decoding a
+    * corpus byte — see [[audioNearDupIncremental]]. */
+  def audioFingerprints(clips: DataFrame, idCol: String = "clip_id",
+      bytesCol: String = "bytes", codecCol: String = "codec",
+      srCol: String = "sr_hz"): DataFrame =
+    clips.select(col(idCol).as("id"), col(srCol).as("sr"),
+        pcm_sample_count(col(bytesCol), col(codecCol)).as("n"),
+        pcm_tone_pair(col(bytesCol), col(codecCol), col(srCol)).as("tones"))
+      .select(col("id"), col("sr"), col("n"),
+        element_at(col("tones"), 1).as("f1"), element_at(col("tones"), 2).as("f2"))
+
+  /** INCREMENTAL audio near-dup (the c15 semantics for an append-only
+    * corpus): a DELTA of new clips checked against an existing corpus
+    * whose fingerprints are already materialized ([[audioFingerprints]]).
+    * The corpus pays ZERO DSP this run — its (id, sr, n, f1, f2) rows
+    * join as-is. Bucket adjacency is ONE-SIDED: the corpus keeps a single
+    * primary (nb, f2b) bucket per clip and only the small delta emits the
+    * 2x2 adjacent buckets, so any pair within (maxTrim, tolHz) still
+    * shares a key while the corpus side stays one row per clip (and the
+    * bucketed delta broadcasts — the candidate join is delta-sized).
+    * Delta-internal pairs come from the batch operator over the delta
+    * alone. Verify is the family's exact aligned cross-correlation with
+    * bytes rehydrated by broadcast semi-join reduction — only candidate
+    * rows' bytes are ever read off the corpus. */
+  def audioNearDupIncremental(corpusFp: DataFrame, corpusClips: DataFrame,
+      delta: DataFrame, maxTrim: Int = 160, tolHz: Int = 16,
+      minCorr: Double = 0.8, idCol: String = "clip_id",
+      bytesCol: String = "bytes", codecCol: String = "codec",
+      srCol: String = "sr_hz"): DataFrame = {
+    require(maxTrim >= 0, s"maxTrim must be >= 0, got $maxTrim")
+    val bucketW = math.max(256, maxTrim + 1)
+    val f2W = math.max(tolHz, 1)
+    val cFp = corpusFp.select(col("id"), col("sr"), col("n"), col("f1"), col("f2"),
+      (col("n") / bucketW).cast("int").as("nb"),
+      (col("f2") / f2W).cast("int").as("f2b"))
+    val dFp = audioFingerprints(delta, idCol, bytesCol, codecCol, srCol)
+      .select(col("id").as("id_d"), col("sr"), col("n").as("n_d"),
+        col("f1"), col("f2").as("f2_d"))
+      .withColumn("nb", explode(array((col("n_d") / bucketW).cast("int"),
+        (col("n_d") / bucketW).cast("int") + 1)))
+      .withColumn("f2b", explode(array((col("f2_d") / f2W).cast("int"),
+        (col("f2_d") / f2W).cast("int") + 1)))
+    val cross = cFp.join(broadcast(dFp), Seq("sr", "f1", "nb", "f2b"))
+      .filter(col("id") =!= col("id_d") &&
+        abs(col("n") - col("n_d")) <= maxTrim &&
+        abs(col("f2") - col("f2_d")) <= tolHz)
+      .select(least(col("id"), col("id_d")).as("id_a"),
+        greatest(col("id"), col("id_d")).as("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify the cross pairs on rehydrated bytes (semi-join reduction:
+    // only candidate rows' bytes leave either scan), then add the
+    // delta-internal pairs from the batch operator over the small delta
+    val payload = corpusClips.select(col(idCol).as("id"),
+        col(bytesCol).as("pbytes"), col(codecCol).as("pcodec"))
+      .unionByName(delta.select(col(idCol).as("id"),
+        col(bytesCol).as("pbytes"), col(codecCol).as("pcodec")))
+    def reduced(side: String) = payload
+      .join(broadcast(cross.select(col(side).as("id")).distinct()),
+        Seq("id"), "leftsemi")
+    val crossVerified = cross
+      .join(reduced("id_a").select(col("id").as("id_a"),
+        col("pbytes").as("bytes_a"), col("pcodec").as("codec_a")), "id_a")
+      .join(reduced("id_b").select(col("id").as("id_b"),
+        col("pbytes").as("bytes_b"), col("pcodec").as("codec_b")), "id_b")
+      .filter(pcm_aligned_corr(col("bytes_a"), col("codec_a"),
+        col("bytes_b"), col("codec_b")) >= minCorr)
+      .select(col("id_a"), col("id_b"))
+    crossVerified.unionByName(
+        audioNearDupShift(delta, maxTrim, tolHz, minCorr,
+          idCol, bytesCol, codecCol, srCol))
+      .distinct()
+  }
+
   def audioNearDup(clips: DataFrame, tolHz: Int = 8,
                    idCol: String = "clip_id", bytesCol: String = "bytes",
                    codecCol: String = "codec", srCol: String = "sr_hz"): DataFrame = {

@@ -256,6 +256,30 @@ object ClipQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL audio near-dup (Dedup.audioNearDupIncremental): the
+    // c15 twins arrive as a DELTA against the raw corpus, whose acoustic
+    // fingerprints are already materialized (audioFingerprints — the
+    // ingest-time decode-once table; computed in-query here, stored next
+    // to the bytes in production). The corpus pays zero DSP in this run;
+    // candidates come from the fingerprint table joined against the
+    // broadcast bucketed delta. Same planted oracle as c15: equality =
+    // the incremental path has exact recall and precision.
+    "c20_audio_neardup_inc" -> ((s, dir) => {
+      val clips = ClipGen.readClips(s, dir)
+        .select("clip_id", "bytes", "codec", "sr_hz")
+      val twinCodec = when(col("codec") === "ulaw", lit("alaw")).otherwise(lit("ulaw"))
+      val trimmed = expr(
+        "substring(bytes, CASE WHEN codec = 'pcm16' THEN 321 ELSE 161 END)")
+      val twins = clips
+        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === 10)
+        .withColumn("bytes", pcm_transcode(trimmed, col("codec"), twinCodec))
+        .withColumn("codec", twinCodec)
+        .withColumn("clip_id", concat(col("clip_id"), lit("-s")))
+      val fp = graft.operators.Dedup.audioFingerprints(clips)
+      graft.operators.Dedup.audioNearDupIncremental(fp, clips, twins)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Audio QUALITY SCORING (the audio analog of the t1/t4 text quality
     // ratios), oracled by planting: every 20th clip (residue 5) gains a
     // SILENT copy (pcm_gain 0), every 20th (residue 15) a CLIPPED copy
@@ -372,6 +396,14 @@ object ClipQueries {
            |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 0
            |ORDER BY 1, 2""".stripMargin,
       "c15_audio_neardup_shift" ->
+        s"""SELECT clip_id AS id_a, clip_id || '-s' AS id_b
+           |FROM $clips
+           |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 10
+           |ORDER BY 1, 2""".stripMargin,
+      // incremental path, same planted truth: every true pair touches
+      // the delta by construction (the corpus is organic-collision-free
+      // at the verify threshold — c15's own recall/precision property)
+      "c20_audio_neardup_inc" ->
         s"""SELECT clip_id AS id_a, clip_id || '-s' AS id_b
            |FROM $clips
            |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 10
