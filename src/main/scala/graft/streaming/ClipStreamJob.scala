@@ -212,6 +212,82 @@ object ClipStreamJob {
     * maintenance analog). Replay-safe: a batch replayed after its delta
     * was folded re-writes the same rows, and the latest-batch-wins reader
     * resolves base-vs-delta copies of one batch to identical data. */
+  /** EXACT-VERIFY incremental dedup stream: each micro-batch is checked
+    * against everything already ingested via the decode-once fingerprint
+    * discipline ([[graft.operators.Dedup.audioNearDupIncremental]] — the
+    * sink table carries (sr_hz, n_samples, f1, f2) columns written at
+    * ingest, so the corpus is never re-decoded), and batch rows whose
+    * audio near-duplicates an existing clip (trim/transcode robust, exact
+    * aligned-correlation verified) are DROPPED before the exactly-once
+    * MERGE. Contrast [[audioDedupStream]]: that stage is fingerprint-
+    * EQUALITY in bounded watermark state (cheap, first line of defense);
+    * this one is the full candidates-plus-verify semantics with unbounded
+    * lookback, priced like a real pipeline would run it — per batch,
+    * O(delta) DSP + a fingerprint-table join + candidate-only byte reads.
+    *
+    * Replay-safe: a replayed batch re-checks against the table, its
+    * survivors re-merge idempotently (same keys, same batch id), and
+    * rows it already merged are NOT self-matched (the delta's ids are
+    * excluded from the corpus side for that batch). */
+  def runDedupedToTable(df: DataFrame, table: ClipTable, checkpointDir: String,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        minCorr: Double = 0.8): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        // two references below (dedup probe + merge): persist so the
+        // stateful upstream executes once per batch
+        val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val existing = table.read(spark)
+          val survivors =
+            if (existing.isEmpty) batch
+            else {
+              val deltaIds = batch.select(col("clip_id"))
+              // replay guard: rows of THIS batch already in the table
+              // must not self-match — exclude them from the corpus side
+              val corpus = existing.join(broadcast(deltaIds), Seq("clip_id"),
+                "left_anti")
+              val fp = corpus.select(col("clip_id").as("id"), col("sr_hz").as("sr"),
+                col("n_samples").as("n"), col("f1"), col("f2"))
+              val pairs = graft.operators.Dedup.audioNearDupIncremental(
+                fp, corpus, batch, minCorr = minCorr)
+              // FIRST-ARRIVAL-WINS drop rule: the corpus side never drops
+              // (it was first); a corpus-batch pair drops its batch end,
+              // a batch-batch pair drops its larger id (ids normalized
+              // id_a < id_b, so: drop id_b when both are batch rows, else
+              // drop whichever end is the batch row).
+              val aInB = deltaIds.withColumnRenamed("clip_id", "id_a")
+                .withColumn("_a_in", lit(true))
+              val bInB = deltaIds.withColumnRenamed("clip_id", "id_b")
+                .withColumn("_b_in", lit(true))
+              val drops = pairs
+                .join(broadcast(aInB), Seq("id_a"), "left")
+                .join(broadcast(bInB), Seq("id_b"), "left")
+                .select(when(col("_a_in").isNotNull && col("_b_in").isNotNull,
+                    col("id_b"))
+                  .when(col("_a_in").isNotNull, col("id_a"))
+                  .otherwise(col("id_b")).as("clip_id"))
+                .distinct()
+              batch.join(broadcast(drops), Seq("clip_id"), "left_anti")
+            }
+          val withFp = survivors
+            .withColumn("n_samples", graft.functions.GraftFunctions
+              .pcm_sample_count(col("bytes"), col("codec")))
+            .withColumn("tones", graft.functions.GraftFunctions
+              .pcm_tone_pair(col("bytes"), col("codec"), col("sr_hz")))
+            .withColumn("f1", element_at(col("tones"), 1))
+            .withColumn("f2", element_at(col("tones"), 2))
+            .drop("tones")
+          table.merge(withFp, batchId)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
   def runToTable(df: DataFrame, table: ClipTable, checkpointDir: String,
                  trigger: Trigger = Trigger.AvailableNow(),
                  outputMode: String = "append",

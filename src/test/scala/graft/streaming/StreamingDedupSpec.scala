@@ -104,4 +104,43 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(got == Set("a", "b", "c"), s"got $got")
     } finally q.stop()
   }
+
+  test("EXACT-VERIFY incremental dedup against the table: first arrival wins") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[AudioEvt]
+    val dir = java.nio.file.Files.createTempDirectory("tbl-incdedup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-incdedup").toString
+    val table = ClipTable(dir, Seq("clip_id"), numBuckets = 2,
+      mergeOnRead = true, gcGraceMs = 0L)
+    val q = ClipStreamJob.runDedupedToTable(in.toDF(), table, ckpt,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    def pcm(seed: Long) =
+      AudioCodec.encode(AudioSynth.synth(AudioSynth.mix64(seed), 8000, 8000), "pcm16")
+    // trimmed + transcoded re-upload: the c15 attack, across micro-batches
+    def twin(of: Array[Byte]) =
+      AudioCodec.transcode(java.util.Arrays.copyOfRange(of, 320, of.length),
+        "pcm16", "ulaw")
+    try {
+      val a = pcm(1); val b = pcm(2); val c = pcm(3); val d = pcm(4)
+      in.addData(AudioEvt("a", a, "pcm16", 8000, ts(1)),
+        AudioEvt("b", b, "pcm16", 8000, ts(2)))
+      q.processAllAvailable()
+      // batch 2: a's re-upload (vs the TABLE), a fresh clip, and a
+      // batch-internal twin pair (d1 survives, d2 drops)
+      in.addData(AudioEvt("a-re", twin(a), "ulaw", 8000, ts(10)),
+        AudioEvt("c", c, "pcm16", 8000, ts(11)),
+        AudioEvt("d1", d, "pcm16", 8000, ts(12)),
+        AudioEvt("d2", twin(d), "ulaw", 8000, ts(13)))
+      q.processAllAvailable()
+      // batch 3: b's re-upload — lookback spans ALL prior batches, not a
+      // watermark window
+      in.addData(AudioEvt("b-re", twin(b), "ulaw", 8000, ts(2000)))
+      q.processAllAvailable()
+      val ids = table.read(spark).select("clip_id").as[String].collect().toSet
+      assert(ids == Set("a", "b", "c", "d1"), ids.toString)
+      // the decode-once discipline: fingerprints persisted at ingest
+      val cols = table.read(spark).columns.toSet
+      assert(Set("n_samples", "f1", "f2").subsetOf(cols), cols.toString)
+    } finally q.stop()
+  }
 }
