@@ -726,13 +726,32 @@ object Dedup {
     * Delta-internal pairs come from the batch operator over the delta
     * alone. Verify is the family's exact aligned cross-correlation with
     * bytes rehydrated by broadcast semi-join reduction — only candidate
-    * rows' bytes are ever read off the corpus. */
+    * rows' bytes are ever read off the corpus.
+    *
+    * CONTRACT: `corpusFp` must be MATERIALIZED columns (a table read /
+    * checkpoint), which is what "fingerprints stored at ingest" means. A
+    * kernel pipeline passed here still returns correct output but pays
+    * the r4 inferred-constraint tax: the candidate join's keys would be
+    * kernel-computed, and Catalyst's inferred IsNotNull filters re-run
+    * the DSP per key column (measured ~5x on c20's first draft). */
   def audioNearDupIncremental(corpusFp: DataFrame, corpusClips: DataFrame,
-      delta: DataFrame, maxTrim: Int = 160, tolHz: Int = 16,
+      delta0: DataFrame, maxTrim: Int = 160, tolHz: Int = 16,
       minCorr: Double = 0.8, idCol: String = "clip_id",
       bytesCol: String = "bytes", codecCol: String = "codec",
       srCol: String = "sr_hz"): DataFrame = {
     require(maxTrim >= 0, s"maxTrim must be >= 0, got $maxTrim")
+    // The delta is referenced several times below (its fingerprints, its
+    // payload side, and the delta-internal batch pass) — materialize it
+    // ONCE, eagerly: a lazy persist still races when the verify stage's
+    // broadcast subtrees evaluate concurrently (each broadcast job is a
+    // future; two of them can both compute the un-filled cache from
+    // scratch, re-running whatever produced the delta — measured 3x cost
+    // on c20's in-query twin construction). localCheckpoint(eager=true)
+    // is the iterative-algorithm idiom ([[components]]): one job, then
+    // every reference reads materialized blocks. Delta-sized by contract
+    // (a micro-batch / daily ingest), so the blocks are small at any
+    // corpus scale.
+    val delta = delta0.localCheckpoint(true)
     val bucketW = math.max(256, maxTrim + 1)
     val f2W = math.max(tolHz, 1)
     val cFp = corpusFp.select(col("id"), col("sr"), col("n"), col("f1"), col("f2"),
@@ -752,7 +771,10 @@ object Dedup {
       .select(least(col("id"), col("id_d")).as("id_a"),
         greatest(col("id"), col("id_d")).as("id_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager for the same reason as the delta: the two broadcast id-set
+      // subtrees below would otherwise race the cache fill and re-run the
+      // corpus-fingerprint join each
+      .localCheckpoint(true)
     // verify the cross pairs on rehydrated bytes (semi-join reduction:
     // only candidate rows' bytes leave either scan), then add the
     // delta-internal pairs from the batch operator over the small delta

@@ -275,7 +275,13 @@ object ClipQueries {
         .withColumn("bytes", pcm_transcode(trimmed, col("codec"), twinCodec))
         .withColumn("codec", twinCodec)
         .withColumn("clip_id", concat(col("clip_id"), lit("-s")))
-      val fp = graft.operators.Dedup.audioFingerprints(clips)
+      // MATERIALIZE the fingerprints, as production would (they are a
+      // stored table there — see runDedupedToTable): joining on
+      // kernel-COMPUTED key columns makes Catalyst's inferred IsNotNull
+      // constraint filters re-evaluate the DSP kernel per key (the r4
+      // self-join lesson, measured ~5x here); checkpointed plain columns
+      // join with zero kernel cost.
+      val fp = graft.operators.Dedup.audioFingerprints(clips).localCheckpoint(true)
       graft.operators.Dedup.audioNearDupIncremental(fp, clips, twins)
         .orderBy("id_a", "id_b")
     }),
