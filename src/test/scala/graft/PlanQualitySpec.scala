@@ -387,6 +387,33 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("c20: exactly two DSP sites (delta-only) — the corpus pays zero") {
+    // The incremental operator's whole point: corpus fingerprints are
+    // MATERIALIZED (checkpointed in-query, a stored table in production),
+    // so the only pcm_tone_pair sites in the executed plans are the
+    // DELTA's — its bucket fingerprints and the delta-internal batch
+    // pass. A third site means the corpus DSP leaked back into the plan
+    // (e.g. the inferred-IsNotNull key tax this query's first draft paid).
+    def sites(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      allPlanNodes(df.queryExecution).foreach {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => ()
+        case node => node.expressions.foreach(_.foreach {
+          case _: graft.functions.PcmTonePair => n += 1
+          case _ => ()
+        })
+      }
+      n
+    }
+    // At most the two DELTA-side sites (bucket fingerprints + the
+    // delta-internal pass; the eager delta checkpoint can absorb one of
+    // them into materialized blocks, leaving a single live site). Three
+    // or more = the corpus DSP leaked back in.
+    val df = SparkEntry.queries("c20_audio_neardup_inc")(spark, sf)
+    val n = sites(df)
+    assert(n >= 1 && n <= 2, s"expected 1-2 delta-side pcm_tone_pair sites, found $n")
+  }
+
   test("i1: image quality scoring never shuffles image bytes") {
     val plan = SparkEntry.queries("i1_image_quality")(spark, sf)
       .queryExecution.executedPlan
