@@ -71,4 +71,86 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(again.select("clip_id", "split").as[(String, String)].collect().sorted.toSeq ==
       split.select("clip_id", "split").as[(String, String)].collect().sorted.toSeq)
   }
+
+  test("curation v2: container ingest -> VAD strip -> incremental dedup -> keep-best -> mix -> pack") {
+    // The round-5 operator set composed end-to-end, streaming-ingest
+    // style: WAV containers in, packed training sequences out. Every
+    // stage is individually oracled/spec'd; this pins the composition.
+    val base = ClipGen.readClips(spark, "/root/testdata/sf0.001")
+      .select("clip_id", "bytes", "codec", "sr_hz", "dur_ms")
+
+    // 0. the corpus arrives WAV-wrapped with poisoned metadata: ingest
+    //    must recover codec/rate from the container
+    val arrived = base
+      .withColumn("bytes", wav_wrap(col("bytes"), col("codec"), col("sr_hz")))
+      .withColumn("codec", lit("unknown")).withColumn("sr_hz", lit(-1))
+    val ingested = graft.streaming.ClipStreamJob.ingestWav(arrived)
+    assert(ingested.filter(col("codec") === "unknown").isEmpty)
+
+    // 1. VAD silence strip (frame-exact; organic corpus is voiced
+    //    end-to-end so only the sub-frame tail is trimmed)
+    val stripped = ingested
+      .withColumn("bytes", pcm_strip_silence(col("bytes"), col("codec"), col("sr_hz")))
+
+    // 2. a later DELTA arrives: trimmed+transcoded re-uploads (residue
+    //    10) — incremental dedup against the ALREADY-INGESTED corpus's
+    //    fingerprint table finds every one with zero corpus DSP
+    val twinCodec = when(col("codec") === "ulaw", lit("alaw")).otherwise(lit("ulaw"))
+    val trimmed = expr(
+      "substring(bytes, CASE WHEN codec = 'pcm16' THEN 321 ELSE 161 END)")
+    val delta = stripped
+      .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === 10)
+      .withColumn("bytes", pcm_transcode(trimmed, col("codec"), twinCodec))
+      .withColumn("codec", twinCodec)
+      .withColumn("clip_id", concat(col("clip_id"), lit("-re")))
+    val fp = Dedup.audioFingerprints(stripped).localCheckpoint(true)
+    val pairs = Dedup.audioNearDupIncremental(fp, stripped, delta)
+    val expected = delta.select(
+      concat(substring(col("clip_id"), 1, 13)).as("orig")).count()
+    assert(pairs.count() == expected, s"pairs=${pairs.count()} expected=$expected")
+
+    // 3. keep-best across each dup family (quality = sample count: the
+    //    LONGER original beats its trimmed re-upload)
+    val quality = stripped.unionByName(delta)
+      .select(col("clip_id"),
+        pcm_sample_count(col("bytes"), col("codec")).as("q"))
+    val keeps = Dedup.keepBest(Dedup.components(pairs), quality, "clip_id", "q")
+    val kept = keeps.filter(col("id") === col("keep_id"))
+      .select("id").as[String].collect().toSet
+    assert(kept.forall(!_.endsWith("-re")), "a trimmed re-upload won keep-best")
+
+    // 4. drop non-kept family members, rebalance to a target codec mix,
+    //    pack into fixed sequences
+    val all = stripped.unionByName(delta)
+    val deduped = all.join(keeps.filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("clip_id")), Seq("clip_id"), "left_anti")
+    val mixed = Sampling.mixToProportions(deduped, "codec", "clip_id",
+      Map("pcm16" -> 700, "ulaw" -> 200, "alaw" -> 100))
+    val withTok = mixed.withColumn("n_samples",
+      pcm_sample_count(col("bytes"), col("codec")).cast("long"))
+    val packed = Sampling.packSequences(withTok, "codec", "clip_id",
+      "n_samples", seqLen = 160000)
+    assert(packed.count() > 0)
+    // tiling: per codec, every sequence except the last holds exactly
+    // seqLen samples
+    packed.groupBy("codec", "seq_id").agg(sum("slice_len").as("s"))
+      .as[(String, Long, Long)].collect().groupBy(_._1).foreach {
+        case (codec, seqs) =>
+          val last = seqs.map(_._2).max
+          seqs.filter(_._2 < last).foreach { r =>
+            assert(r._3 == 160000L, s"$codec seq ${r._2} holds ${r._3}")
+          }
+      }
+    // determinism under repartitioning, end to end
+    val again = Sampling.packSequences(
+      Sampling.mixToProportions(deduped.repartition(11), "codec", "clip_id",
+        Map("pcm16" -> 700, "ulaw" -> 200, "alaw" -> 100))
+        .withColumn("n_samples",
+          pcm_sample_count(col("bytes"), col("codec")).cast("long")),
+      "codec", "clip_id", "n_samples", seqLen = 160000)
+    assert(again.select("clip_id", "seq_id", "doc_start", "slice_len")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq ==
+      packed.select("clip_id", "seq_id", "doc_start", "slice_len")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq)
+  }
 }
