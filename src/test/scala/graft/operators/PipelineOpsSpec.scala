@@ -691,4 +691,41 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(again == ivfpq)
   }
+
+  test("componentsIncremental == full recompute over the union edge set") {
+    def pairsOf(ps: Seq[(Long, Long)]) = ps.toDF("id_a", "id_b")
+    // old world: {1,2,3} (canon 1), {10,11} (canon 10), {20,21} (canon 20)
+    val oldPairs = pairsOf(Seq((1L,2L), (2L,3L), (10L,11L), (20L,21L)))
+    val labels = Dedup.components(oldPairs)
+    // delta exercises every topology at once:
+    //  - merge two existing clusters          (3,10)
+    //  - brand-new cluster of unseen ids      (100,101)
+    //  - new id joins an existing cluster     (21,200)
+    //  - internal edge (no-op)                (1,3)
+    val delta = pairsOf(Seq((3L,10L), (100L,101L), (21L,200L), (1L,3L)))
+    val inc = Dedup.componentsIncremental(labels, delta)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.components(oldPairs.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc(11L) == 1L && inc(200L) == 20L && inc(100L) == 100L)
+    // no-op delta (all edges internal) returns the labeling unchanged
+    val noop = Dedup.componentsIncremental(labels, pairsOf(Seq((1L,2L))))
+      .as[(Long, Long)].collect().toMap
+    assert(noop == labels.as[(Long, Long)].collect().toMap)
+    // determinism under repartitioning
+    val again = Dedup.componentsIncremental(labels, delta.repartition(5))
+      .as[(Long, Long)].collect().toMap
+    assert(again == inc)
+    // and the real near-dup graph: split d2's pair set in half, fold the
+    // second half incrementally — equal to the full labeling
+    val allPairs = Dedup.nearDupJaccard(docsAug, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val half = allPairs.filter(xxhash64(col("id_a"), col("id_b")) % 2 === 0)
+    val rest = allPairs.exceptAll(half)
+    val incReal = Dedup.componentsIncremental(
+      Dedup.components(half), rest).as[(Long, Long)].collect().toMap
+    val fullReal = Dedup.components(allPairs).as[(Long, Long)].collect().toMap
+    assert(incReal == fullReal)
+  }
 }
