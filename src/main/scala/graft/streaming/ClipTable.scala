@@ -622,6 +622,34 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
     * them; compact first or read() + filter). `keys` is persisted here
     * (referenced once per bucket); lifecycle follows the caller, as with
     * Dedup's candidate stage. */
+  /** POINT lookup — the primary-key GET a serving layer runs against the
+    * sink: resolve the key's hash bucket DRIVER-side (the same
+    * CRC32-of-NUL-joined-keys as the write path) and touch only
+    * bucket-sized data. COW: read exactly the one `bucket=<b>` directory.
+    * MOR: the `_bucket = b` predicate file-prunes via parquet min/max
+    * stats (compaction repartitions by bucket, so each base file holds
+    * one bucket) before latest-wins resolution. O(bucket) I/O instead of
+    * O(table) either way. */
+  def lookup(spark: SparkSession, keyValues: Seq[String]): DataFrame = {
+    require(keyValues.length == keyCols.length,
+      s"expected ${keyCols.length} key values (${keyCols.mkString(",")}), " +
+        s"got ${keyValues.length}")
+    val crc = new java.util.zip.CRC32()
+    crc.update(keyValues.mkString("\u0000")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val b = java.lang.Long.remainderUnsigned(crc.getValue, numBuckets.toLong).toInt
+    val keyFilter = keyCols.zip(keyValues)
+      .map { case (c, v) => col(c) === v }.reduce(_ && _)
+    if (!mergeOnRead) {
+      val dir = bucketDir(b)
+      if (!nonEmptyDir(dir)) spark.emptyDataFrame
+      else spark.read.option("mergeSchema", "true").parquet(dir.toString)
+        .filter(keyFilter)
+    } else {
+      read(spark).filter(col("_bucket") === b).filter(keyFilter)
+    }
+  }
+
   def readForKeys(spark: SparkSession, keys: DataFrame): DataFrame = {
     require(!mergeOnRead,
       "readForKeys needs the bucket-partitioned COW layout (MOR deltas are unbucketed)")

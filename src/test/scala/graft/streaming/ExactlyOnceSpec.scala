@@ -237,6 +237,33 @@ class ExactlyOnceSpec extends AnyFunSuite {
     assert(asOf(c, 1L) == Map("a" -> 0, "s" -> 1))
   }
 
+  test("lookup: point read touches one bucket, agrees with the full read") {
+    for (mor <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(s"tbl-lookup-$mor").toString
+      val t = ClipTable(dir, Seq("k"), numBuckets = 4, mergeOnRead = mor,
+        gcGraceMs = 0L)
+      (0 until 3).foreach(b =>
+        t.merge((0 until 40).map(i => (s"k$i", i + b * 100)).toDF("k", "v"), b))
+      if (mor) t.compact(spark) // bucket-clustered base files
+      val full = t.read(spark).select("k", "v").as[(String, Int)]
+        .collect().toMap
+      for (k <- Seq("k0", "k17", "k39")) {
+        val got = t.lookup(spark, Seq(k)).select("k", "v")
+          .as[(String, Int)].collect()
+        assert(got.toSeq == Seq((k, full(k))), s"mor=$mor key=$k")
+      }
+      assert(t.lookup(spark, Seq("missing")).isEmpty)
+      if (!mor) {
+        // COW: the lookup's resolved files all live in ONE bucket dir
+        val files = t.lookup(spark, Seq("k17")).inputFiles
+        val dirs = files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+        assert(dirs.length == 1 && dirs.head.contains("bucket="),
+          dirs.mkString(","))
+      }
+      intercept[IllegalArgumentException](t.lookup(spark, Seq("a", "b")))
+    }
+  }
+
   test("a table from an incompatible format version is refused, not corrupted") {
     // v1 (round 1) bucketed on space-joined keys and has no _format marker;
     // merging into it with the v2 layout would silently lose re-bucketed
