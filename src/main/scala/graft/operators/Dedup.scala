@@ -763,9 +763,15 @@ object Dedup {
     * The corpus pays ZERO DSP this run — its (id, sr, n, f1, f2) rows
     * join as-is. Bucket adjacency is ONE-SIDED: the corpus keeps a single
     * primary (nb, f2b) bucket per clip and only the small delta emits the
-    * 2x2 adjacent buckets, so any pair within (maxTrim, tolHz) still
-    * shares a key while the corpus side stays one row per clip (and the
-    * bucketed delta broadcasts — the candidate join is delta-sized).
+    * 3x3 adjacent buckets {b-1, b, b+1} on BOTH axes — the corpus twin's
+    * primary bucket can sit on EITHER side of the delta's (a delta clip
+    * longer than its corpus twin across a bucket edge has n_c/W =
+    * n_d/W - 1, and symmetrically for f2), so one-sided {b, b+1}
+    * emission silently missed the longer-delta direction (ADVICE r5,
+    * high; regression pinned by CurationPipelineSpec's longer-delta
+    * case). Any pair within (maxTrim, tolHz) now shares a key while the
+    * corpus side stays one row per clip (and the bucketed delta
+    * broadcasts — the candidate join is delta-sized, 9 rows per clip).
     * Delta-internal pairs come from the batch operator over the delta
     * alone. Verify is the family's exact aligned cross-correlation with
     * bytes rehydrated by broadcast semi-join reduction — only candidate
@@ -803,9 +809,11 @@ object Dedup {
     val dFp = audioFingerprints(delta, idCol, bytesCol, codecCol, srCol)
       .select(col("id").as("id_d"), col("sr"), col("n").as("n_d"),
         col("f1"), col("f2").as("f2_d"))
-      .withColumn("nb", explode(array((col("n_d") / bucketW).cast("int"),
+      .withColumn("nb", explode(array((col("n_d") / bucketW).cast("int") - 1,
+        (col("n_d") / bucketW).cast("int"),
         (col("n_d") / bucketW).cast("int") + 1)))
-      .withColumn("f2b", explode(array((col("f2_d") / f2W).cast("int"),
+      .withColumn("f2b", explode(array((col("f2_d") / f2W).cast("int") - 1,
+        (col("f2_d") / f2W).cast("int"),
         (col("f2_d") / f2W).cast("int") + 1)))
     val cross = cFp.join(broadcast(dFp), Seq("sr", "f1", "nb", "f2b"))
       .filter(col("id") =!= col("id_d") &&

@@ -27,16 +27,19 @@ object Scrub {
   /** Replace every email/phone match in `textCol` with redaction tokens,
     * and count what was redacted: returns the input columns plus
     * `n_emails`, `n_phones` (int) and `clean_text`. Emails are scrubbed
-    * first; the patterns are disjoint (a phone starts with '+', which no
-    * email match contains), so the order is immaterial to the output but
-    * fixed for determinism. */
+    * FIRST and the patterns can overlap ('+' is legal in an email
+    * local-part, so "user+15551234567@example.com" contains a phone-shaped
+    * span inside the email match) — n_phones is therefore counted on the
+    * EMAIL-SCRUBBED text, so the counts always agree with what
+    * `clean_text` actually replaced (ADVICE r5). */
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    val emailScrubbed = regexp_replace(t, EmailPattern, "<EMAIL>")
     df.withColumn("n_emails", regexp_count(t, lit(EmailPattern)).cast("int"))
-      .withColumn("n_phones", regexp_count(t, lit(PhonePattern)).cast("int"))
+      .withColumn("n_phones",
+        regexp_count(emailScrubbed, lit(PhonePattern)).cast("int"))
       .withColumn("clean_text",
-        regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
-          PhonePattern, "<PHONE>"))
+        regexp_replace(emailScrubbed, PhonePattern, "<PHONE>"))
   }
 
   /** Column form of the scrubbed text alone. */

@@ -642,7 +642,20 @@ final case class ClipTable(root: String, keyCols: Seq[String], numBuckets: Int =
       .map { case (c, v) => col(c) === v }.reduce(_ && _)
     if (!mergeOnRead) {
       val dir = bucketDir(b)
-      if (!nonEmptyDir(dir)) spark.emptyDataFrame
+      if (!nonEmptyDir(dir)) {
+        // MISS with an empty key bucket: still return the TABLE schema
+        // (read from any populated bucket, limit 0 — the optimizer folds
+        // it to an empty LocalRelation, no I/O) so callers selecting
+        // columns on a miss don't hit AnalysisException (ADVICE r5).
+        // Only a fully-empty table degrades to the schema-less frame,
+        // same as read().
+        (0 until numBuckets).map(bucketDir).find(nonEmptyDir) match {
+          case None => spark.emptyDataFrame
+          case Some(d) =>
+            spark.read.option("mergeSchema", "true").parquet(d.toString)
+              .limit(0).filter(keyFilter)
+        }
+      }
       else spark.read.option("mergeSchema", "true").parquet(dir.toString)
         .filter(keyFilter)
     } else {

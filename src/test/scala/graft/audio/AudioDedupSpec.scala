@@ -108,6 +108,37 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(got == want, s"missing: ${want.diff(got)}, extra: ${got.diff(want)}")
   }
 
+  test("audioNearDupIncremental finds LONGER-delta twins across a duration-bucket edge") {
+    // ADVICE r5 (high): the corpus keeps one primary (nb, f2b) bucket and
+    // only the delta explodes adjacency. With one-sided {b, b+1} emission
+    // a delta clip LONGER than its corpus twin whose sample counts
+    // straddle a bucket edge (floor(n_c/W) == floor(n_d/W) - 1) shared no
+    // join key and the pair was silently missed — the batch operator
+    // (both sides emit adjacency) finds it, breaking c20/d8 batch parity.
+    // Corpus = TRIMMED clips, delta = full-length transcodes, restricted
+    // to clips that actually straddle an edge (n % 256 < 160).
+    import spark.implicits._
+    val bucketW = 256
+    val straddlers = rows.filter { r =>
+      val n = AudioCodec.sampleCount(r.bytes.length, r.codec)
+      (n - 160) / bucketW < n / bucketW
+    }
+    assert(straddlers.size >= 5, s"fixture lost its straddlers: ${straddlers.size}")
+    val corpus = straddlers.map { r =>
+      (r.clip_id, trimBytes(r.bytes, r.codec, 160), r.codec, r.sr_hz)
+    }.toDF("clip_id", "bytes", "codec", "sr_hz")
+    val delta = straddlers.map { r =>
+      val target = if (r.codec == "ulaw") "alaw" else "ulaw"
+      (r.clip_id + "-l", AudioCodec.transcode(r.bytes, r.codec, target),
+        target, r.sr_hz)
+    }.toDF("clip_id", "bytes", "codec", "sr_hz")
+    val fp = Dedup.audioFingerprints(corpus).localCheckpoint(true)
+    val got = Dedup.audioNearDupIncremental(fp, corpus, delta)
+      .as[(String, String)].collect().toSet
+    val want = straddlers.map(r => (r.clip_id, r.clip_id + "-l")).toSet
+    assert(got == want, s"missing: ${want.diff(got)}, extra: ${got.diff(want)}")
+  }
+
   test("audioNearDup recovers exactly the planted twin pairs from bytes alone") {
     import spark.implicits._
     val base = rows.toDF()

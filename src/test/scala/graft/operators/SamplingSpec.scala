@@ -200,7 +200,11 @@ class SamplingSpec extends AnyFunSuite {
       (1L, "plain organic text with numbers 1234 and a plus + sign"),
       (2L, "mail me at a.b+tag@ex-ample.co.uk or root@ex.io today"),
       (3L, "call +1 555 0100 or +49 30-1234567 tonight"),
-      (4L, "both: x@y.org and +1 555 9999 end")).toDF("doc_id", "text")
+      (4L, "both: x@y.org and +1 555 9999 end"),
+      // '+' is legal in an email local-part: the phone-shaped span inside
+      // the email must be counted as part of the ONE email redaction, not
+      // double-counted as a phone (ADVICE r5: counts == replacements)
+      (5L, "overlap: user+15551234567@example.com only")).toDF("doc_id", "text")
     val out = Scrub.scrubPii(rows, "text")
       .select("doc_id", "n_emails", "n_phones", "clean_text")
       .as[(Long, Int, Int, String)].collect().sortBy(_._1)
@@ -208,6 +212,7 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(1) == ((2L, 2, 0, "mail me at <EMAIL> or <EMAIL> today")))
     assert(out(2) == ((3L, 0, 2, "call <PHONE> or <PHONE> tonight")))
     assert(out(3) == ((4L, 1, 1, "both: <EMAIL> and <PHONE> end")))
+    assert(out(4) == ((5L, 1, 0, "overlap: <EMAIL> only")))
     // scrubbing is a fixed point: tokens never re-match the patterns
     val twice = Scrub.scrubPii(
       out.toSeq.map(r => (r._1, r._4)).toDF("doc_id", "text"), "text")

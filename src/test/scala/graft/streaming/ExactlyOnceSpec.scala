@@ -264,6 +264,26 @@ class ExactlyOnceSpec extends AnyFunSuite {
     }
   }
 
+  test("lookup miss keeps the table schema even when the key's bucket is empty") {
+    // ADVICE r5: the COW miss path returned spark.emptyDataFrame (zero
+    // columns) when the bucket dir was empty — callers selecting columns
+    // on a miss got AnalysisException. With 64 buckets and 4 keys, most
+    // buckets are empty; every miss must still carry (k, v).
+    val dir = Files.createTempDirectory("tbl-lookup-miss").toString
+    val t = ClipTable(dir, Seq("k"), numBuckets = 64)
+    t.merge((0 until 4).map(i => (s"k$i", i)).toDF("k", "v"), 0)
+    val misses = (0 until 20).map(i => s"zz-miss-$i")
+    // at least one of these lands in an unpopulated bucket dir
+    misses.foreach { k =>
+      val df = t.lookup(spark, Seq(k))
+      assert(df.columns.toSet.intersect(Set("k", "v")) == Set("k", "v"), k)
+      assert(df.select("k", "v").isEmpty, k)
+    }
+    // fully-empty table still degrades to the schema-less frame, like read()
+    val empty = ClipTable(Files.createTempDirectory("tbl-empty").toString, Seq("k"))
+    assert(empty.lookup(spark, Seq("x")).isEmpty)
+  }
+
   test("a table from an incompatible format version is refused, not corrupted") {
     // v1 (round 1) bucketed on space-joined keys and has no _format marker;
     // merging into it with the v2 layout would silently lose re-bucketed
