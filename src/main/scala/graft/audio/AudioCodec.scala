@@ -758,6 +758,20 @@ object AudioSynth {
     h
   }
 
+  /** Pure sine tone, pcm16-encoded: `n` samples of 0.5*sin(2*pi*f*i/sr)
+    * with `f = fMilliHz / 1000` (milli-Hz so band-center frequencies like
+    * 2756.25 Hz stay exact integers end-to-end — the c10 oracle states
+    * them in integer SQL arithmetic). Shares NO code with the Goertzel
+    * filterbank it is used to verify. */
+  def tone(srHz: Int, fMilliHz: Long, n: Int): Array[Byte] = {
+    require(srHz > 0 && n >= 0, s"bad tone params sr=$srHz n=$n")
+    val w = 2.0 * math.Pi * (fMilliHz / 1000.0) / srHz
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = (0.5 * math.sin(w * i)).toFloat; i += 1 }
+    AudioCodec.encode(out, AudioCodec.Pcm16)
+  }
+
   /** Synthesize `n` samples at `srHz`, deterministically from `seed`. */
   def synth(seed: Long, srHz: Int, n: Int): Array[Float] = {
     val h1 = mix64(seed)

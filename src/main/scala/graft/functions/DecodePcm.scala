@@ -454,6 +454,34 @@ case class PcmStripSilence(first: Expression, second: Expression, third: Express
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** `pcm_tone(sr_hz, f_milli_hz, n) -> binary` — pure-sine pcm16 synthesis
+  * (amp 0.5). The planted-contract generator for the c10 band-argmax
+  * oracle: frequency is taken in milli-Hz so Goertzel band centers
+  * ((2b+1)*sr/32, e.g. 2756.25 Hz at 44.1k) are exact integers in both
+  * the Spark plan and the DuckDB oracle's arithmetic. */
+case class PcmTone(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == IntegerType &&
+      second.dataType == org.apache.spark.sql.types.LongType &&
+      third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_tone expects (int, bigint, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm_tone"
+  override def nullSafeEval(sr: Any, fMilliHz: Any, n: Any): Any =
+    graft.audio.AudioSynth.tone(sr.asInstanceOf[Int],
+      fMilliHz.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, f, n) =>
+      s"${ev.value} = graft.audio.AudioSynth.tone($s, $f, $n);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
 object GraftFunctions {
   /** Expression -> Column bridge (Spark 4 classic API). */
   def toColumn(e: Expression): Column = Bridge.column(e)
@@ -502,6 +530,9 @@ object GraftFunctions {
                        bytesB: Column, codecB: Column): Column =
     toColumn(PcmAlignedCorr(toExpr(bytesA), toExpr(codecA),
       toExpr(bytesB), toExpr(codecB)))
+
+  def pcm_tone(srHz: Column, fMilliHz: Column, n: Column): Column =
+    toColumn(PcmTone(toExpr(srHz), toExpr(fMilliHz), toExpr(n)))
 
   def pcm_gain(bytes: Column, codec: Column, gain: Column): Column =
     toColumn(PcmGain(toExpr(bytes), toExpr(codec), toExpr(gain)))

@@ -133,27 +133,63 @@ object ClipQueries {
     // Decode-dependent stats via the fused Catalyst pcm_rms expression
     // (decode + reduce in one codegen'd pass — see graft.functions.PcmRms;
     // the unfused decode_pcm + higher-order aggregate computes the same
-    // value ~10x slower and is covered by the test suite). Not SQL-
-    // expressible in DuckDB (binary codec decode) -> rows-only check;
-    // full verification happens in the sbt test suite vs reference PCM.
+    // value ~10x slower and is covered by the test suite). ORACLED (r6,
+    // closing the last no_oracle rows) by the planted-contract
+    // discipline: the exact double RMS is not SQL-portable, but a CLASS
+    // with structural margins is — the synth formula bounds organic RMS
+    // to [0.366, 0.514] (measured over the full sf0.01 corpus; theory:
+    // the 0.40/0.30/0.18 component mix gives [0.37, 0.51]), a planted
+    // gain-0 copy (-e0, residue 7) decodes to the codec's companded zero
+    // (rms <= 0.0003), and a planted gain-6 copy (-e6, residue 17)
+    // hard-clips through the encoder to rms in [0.866, 0.947]. Class
+    // edges 0.02 / 0.69 sit >= 25% from every population at any scale,
+    // so class equality == the decode+RMS kernel is right for EVERY row.
+    // The numeric rms itself is pinned vs reference PCM in DecodePcmSpec.
     "c7_decode_energy" -> ((s, dir) => {
-      ClipGen.readClips(s, dir)
+      val clips = ClipGen.readClips(s, dir)
+        .select("clip_id", "bytes", "codec", "sr_hz")
+      def planted(residue: Int, g: Double, tag: String) = clips
+        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === residue)
+        .withColumn("bytes", pcm_gain(col("bytes"), col("codec"), lit(g)))
+        .withColumn("clip_id", concat(col("clip_id"), lit(tag)))
+      clips.unionByName(planted(7, 0.0, "-e0"))
+        .unionByName(planted(17, 6.0, "-e6"))
         .select(col("clip_id"), col("codec"),
           pcm_sample_count(col("bytes"), col("codec")).as("n_samples"),
-          round(pcm_rms(col("bytes"), col("codec")), 4).as("rms"))
+          pcm_rms(col("bytes"), col("codec")).as("rms"))
+        .select(col("clip_id"), col("codec"), col("n_samples"),
+          when(col("rms") < 0.02, lit("silent"))
+            .when(col("rms") > 0.69, lit("hot"))
+            .otherwise(lit("voiced")).as("rms_class"))
         .orderBy("clip_id")
     }),
 
-    // Audio feature extraction: 8-band Goertzel filterbank energies per
-    // clip (fused decode+filterbank expression; rows-only — not SQL-
-    // expressible; spectral correctness covered by AudioCodecSpec).
+    // Audio feature extraction: 8-band Goertzel filterbank argmax per
+    // clip (fused decode+filterbank expression). ORACLED (r6) by planted
+    // band-center tones: each corpus row contributes a pure pcm16 sine
+    // at its own sr's band center b = idx%8 — f = (2b+1)*sr/32, carried
+    // in milli-Hz so 44.1k's 2756.25-Hz grid stays integer in both
+    // engines — at the clip's own sample count. The filterbank must put
+    // the energy argmax in band b with >= 90% concentration for EVERY
+    // row (an exactly-centered tone responds at A^2/4 in its band and
+    // <= 1e-5 of that elsewhere; AudioCodecSpec pins the margin over the
+    // full (sr, band) grid; the tone synth shares no code with the
+    // filterbank). Organic-signal band energies stay covered numerically
+    // by AudioCodecSpec against direct DFT references.
     "c10_band_energies" -> ((s, dir) => {
       ClipGen.readClips(s, dir)
-        .withColumn("bands", pcm_band_energies(col("bytes"), col("codec"), col("sr_hz")))
-        .select(col("clip_id"), col("codec"), col("sr_hz"),
-          round(element_at(col("bands"), 1), 8).as("band1"),
-          round(element_at(col("bands"), 4), 8).as("band4"),
-          round(element_at(col("bands"), 8), 8).as("band8"))
+        .select(col("clip_id"), col("sr_hz"),
+          (substring(col("clip_id"), 6, 8).cast("int") % 8).as("b"),
+          pcm_sample_count(col("bytes"), col("codec")).as("n"))
+        .withColumn("bands", pcm_band_energies(
+          pcm_tone(col("sr_hz"),
+            expr("CAST(2 * b + 1 AS BIGINT) * (CAST(sr_hz AS BIGINT) * 1000 DIV 32)"),
+            col("n")),
+          lit("pcm16"), col("sr_hz")))
+        .select(col("clip_id"), col("sr_hz"),
+          (expr("array_position(bands, array_max(bands))") - 1).cast("int").as("band"),
+          (element_at(col("bands"), expr("CAST(array_position(bands, array_max(bands)) AS INT)")) * 10 >
+            expr("aggregate(bands, 0.0d, (a, x) -> a + x)") * 9).as("concentrated"))
         .orderBy("clip_id")
     }),
 
@@ -426,6 +462,32 @@ object ClipQueries {
            |FROM $clips
            |WHERE CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 = 15
            |ORDER BY 1""".stripMargin,
+      // c7's planted RMS-class truth: organic rows are 'voiced' (rms in
+      // [0.366, 0.514] structurally), gain-0 copies 'silent', gain-6
+      // copies 'hot' — class edges 0.02/0.69 carry >= 25% margins (see
+      // the query comment); n_samples is codec byte math, gain-planting
+      // preserves it
+      "c7_decode_energy" ->
+        s"""WITH c AS (
+           |  SELECT clip_id, codec,
+           |    CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes) // 2
+           |         ELSE octet_length(bytes) END AS INTEGER) AS n_samples,
+           |    CAST(substr(clip_id, 6, 8) AS INTEGER) % 20 AS cls
+           |  FROM $clips)
+           |SELECT clip_id, codec, n_samples, 'voiced' AS rms_class FROM c
+           |UNION ALL
+           |SELECT clip_id || '-e0', codec, n_samples, 'silent' FROM c WHERE cls = 7
+           |UNION ALL
+           |SELECT clip_id || '-e6', codec, n_samples, 'hot' FROM c WHERE cls = 17
+           |ORDER BY 1""".stripMargin,
+      // c10's planted band-argmax truth: a pure tone at band center
+      // b = idx%8 of the row's own sr must argmax in band b, with >= 90%
+      // of total filterbank energy concentrated there
+      "c10_band_energies" ->
+        s"""SELECT clip_id, sr_hz,
+           |  CAST(CAST(substr(clip_id, 6, 8) AS INTEGER) % 8 AS INTEGER) AS band,
+           |  TRUE AS concentrated
+           |FROM $clips ORDER BY clip_id""".stripMargin,
       // the resample LENGTH contract, stated from the table's own columns:
       // n = byte math per codec, n_16k = floor(n * 16000 / sr_hz)
       "c17_resample_norm" ->

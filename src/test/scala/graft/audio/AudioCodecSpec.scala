@@ -187,6 +187,25 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("band-center tones: argmax == planted band with >= 90% concentration (c10 contract)") {
+    // the c10 oracle's margin, pinned over the full (sr, band) grid at
+    // several lengths (incl. a prime-ish n so no center aligns to an
+    // exact DFT bin): an exactly-centered tone responds at ~A^2/4 in its
+    // band and orders of magnitude lower elsewhere. The tone synth
+    // (AudioSynth.tone) shares no code with the Goertzel filterbank.
+    for (sr <- Seq(8000, 16000, 44100); b <- 0 until 8;
+         n <- Seq(1600, 8821, 26460)) {
+      val fMilliHz = (2L * b + 1) * (sr.toLong * 1000L / 32L)
+      assert(sr.toLong * 1000L % 32L == 0L, s"sr=$sr center not integral milli-Hz")
+      val bytes = AudioSynth.tone(sr, fMilliHz, n)
+      val e = AudioCodec.bandEnergies(bytes, AudioCodec.Pcm16, sr)
+      val argmax = e.indexOf(e.max)
+      assert(argmax == b, s"sr=$sr b=$b n=$n argmax=$argmax: ${e.mkString(",")}")
+      assert(e.max * 10 > e.sum * 9,
+        s"sr=$sr b=$b n=$n concentration ${e.max / e.sum}")
+    }
+  }
+
   test("ulaw/alaw byte-level involution sanity") {
     for (s <- Seq[Short](0, 1, -1, 100, -100, 1000, -1000, 32767, -32768)) {
       val u = AudioCodec.ulawToLinear(AudioCodec.linearToUlaw(s))
