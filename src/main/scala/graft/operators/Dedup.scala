@@ -456,27 +456,71 @@ object Dedup {
       maxHamming)
 
   /** Near-dup pairs over ANY 64-bit signature column (`sigs` = (id, sig))
-    * within `maxHamming` bits — shared by text SimHash (d3) and image
-    * dHash (i4). Candidate buckets are the maxHamming+1 chunks of the
-    * signature (pigeonhole: any pair within hamming h shares at least one
-    * of h+1 identical chunks — candidate generation is complete, never
-    * all-pairs); the exact hamming filter inside the group provides
-    * precision. One signature scan, one chunk-keyed shuffle of (id, sig)
-    * rows — the payload the signature came from never rides anything. */
+    * within `maxHamming` bits — shared by text SimHash (d3), image dHash
+    * (i4) and video frame-hash (v3). The exact hamming filter inside the
+    * group provides precision; candidate generation is complete and never
+    * all-pairs, with the bucketing scheme chosen by radius:
+    *
+    *  - maxHamming <= 4 (SINGLE-CHUNK pigeonhole): buckets are the
+    *    maxHamming+1 chunks of the signature — any pair within hamming h
+    *    differs in at most h chunks, so shares at least one. Chunk width
+    *    >= 12 bits here, so organic (near-uniform) occupancy is n/4096
+    *    per bucket and candidate volume stays ~n²·(h+1)/2^13 — fine.
+    *
+    *  - maxHamming >= 5 (COMBINATION-CHUNK keys, r6 — the i4 scale fix):
+    *    the single-chunk scheme degrades as chunks narrow (at h=8, 9
+    *    chunks of <= 8 bits give only ~2,300 buckets TOTAL, and the 9th
+    *    chunk has width ZERO — a degenerate bucket holding the whole
+    *    corpus, i.e. organic candidate growth is literally n²/2). Split
+    *    the signature into c = maxHamming+4 chunks instead and key on
+    *    every 4-SUBSET of chunk values: a pair within hamming h differs
+    *    in at most h chunks, so shares >= c-h = 4 identical chunks, so
+    *    some 4-subset key matches — recall stays pigeonhole-complete.
+    *    Keys carry 4*(64/c) >= 21 bits (h=8: ~2.6M values per combo), so
+    *    expected organic candidate volume drops from ~n²/2 to
+    *    ~C(c,4)·n²/2^22 (h=8: ~1e-4·n², a >5000x cut), at the price of
+    *    C(c,4) emissions per row (h=8: 495) — a LINEAR-in-n shuffle of
+    *    tiny (id, sig, key) rows, the right trade at any corpus size.
+    *    Occupancy/volume math is pinned by HashNearDupScaleSpec.
+    *
+    * One signature scan, one key-shuffle of (id, sig) rows — the payload
+    * the signature came from never rides anything. */
   def hashNearDup(sigs: DataFrame, maxHamming: Int = 3,
                   salts: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val nChunks = maxHamming + 1
-    val w = (64 + nChunks - 1) / nChunks
-    val chunks = (0 until nChunks).map { i =>
-      val width = math.min(w, 64 - i * w)
-      shiftrightunsigned(col("sig"), i * w)
-        .bitwiseAND(lit(if (width >= 64) -1L else (1L << width) - 1))
-    }
+    val keyCols: Seq[Column] =
+      if (maxHamming <= 4) {
+        val nChunks = maxHamming + 1
+        val w = (64 + nChunks - 1) / nChunks
+        (0 until nChunks).map { i =>
+          val width = math.min(w, 64 - i * w)
+          shiftrightunsigned(col("sig"), i * w)
+            .bitwiseAND(lit(if (width >= 64) -1L else (1L << width) - 1))
+        }
+      } else {
+        val c = maxHamming + 4
+        val base = 64 / c
+        val rem = 64 % c // first `rem` chunks get base+1 bits
+        val offs = (0 until c).scanLeft(0)((o, i) =>
+          o + base + (if (i < rem) 1 else 0))
+        val chunkVals = (0 until c).map { i =>
+          val width = base + (if (i < rem) 1 else 0)
+          shiftrightunsigned(col("sig"), offs(i))
+            .bitwiseAND(lit((1L << width) - 1))
+        }
+        // each 4-subset key packs its 4 chunk values into 16-bit lanes
+        // (widths <= 16 always for c >= 9) plus the combo index in the
+        // top nibble-space via the `chunk` column — no hashing needed,
+        // and packing keeps the key exactly collision-free per combo
+        (0 until c).combinations(4).toSeq.map { idx =>
+          idx.map(chunkVals).reduceLeft((acc, v) =>
+            shiftleft(acc, 16).bitwiseOR(v))
+        }
+      }
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array(chunks: _*)).as(Seq("chunk", "ckey")))
+      posexplode(array(keyCols: _*)).as(Seq("chunk", "ckey")))
     // GroupBy-bucket pairing (single signature scan — see minhashLsh).
     // `salts` > 1 engages hot-bucket CELL pairing — a corpus with many
     // identical signatures (exact-dup images, boilerplate text) funnels
