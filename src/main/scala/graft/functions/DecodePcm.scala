@@ -544,6 +544,9 @@ object GraftFunctions {
 
   def y4m_motion_stats(bytes: Column): Column = toColumn(Y4mMotionStats(toExpr(bytes)))
 
+  def y4m_temporal_dhash(bytes: Column, stride: Int = 1): Column =
+    toColumn(Y4mTemporalDhash(toExpr(bytes), stride))
+
   def image_meta(bytes: Column): Column = toColumn(ImageMetaExpr(toExpr(bytes)))
 
   def image_luma_mean(bytes: Column): Column = toColumn(ImageLumaMean(toExpr(bytes)))

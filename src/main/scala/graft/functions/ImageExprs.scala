@@ -151,6 +151,36 @@ case class VideoMetaExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** `y4m_temporal_dhash(bytes) -> bigint` — 64-bit temporal perceptual
+  * signature of a YUV4MPEG2 payload: per-bit majority over every frame's
+  * luma dHash (graft.image.Y4mCodec.temporalDhash, one fused pass). The
+  * scan-stage signature behind video near-dup (v3) — robust to leading
+  * trims and transcode-style luma remaps; only (id, hash) rides the
+  * candidate shuffle. Null when not y4m. */
+case class Y4mTemporalDhash(child: Expression, stride: Int = 1)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"y4m_temporal_dhash expects binary, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "y4m_temporal_dhash"
+  override def nullSafeEval(bytes: Any): Any =
+    graft.image.Y4mCodec.temporalDhashOrNull(
+      bytes.asInstanceOf[Array[Byte]], stride) match {
+      case null => null
+      case v => v.longValue()
+    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""java.lang.Long ${ev.value}_boxed =
+         |  graft.image.Y4mCodec.temporalDhashOrNull($b, $stride);
+         |${ev.isNull} = ${ev.value}_boxed == null;
+         |${ev.value} = ${ev.isNull} ? 0L : ${ev.value}_boxed.longValue();""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** `y4m_motion_stats(bytes) -> array<double>` — [n_frames, mean_luma,
   * mean |Δ frame-mean luma|] of an uncompressed YUV4MPEG2 payload in one
   * fused pass over the luma planes (chroma never read; see

@@ -29,6 +29,12 @@ object ImageHash {
       case _ => JdkImageCodec.decode(bytes).getOrElse(
         throw new IllegalArgumentException("undecodable image payload"))
     }
+    dhashOf(img)
+  }
+
+  /** dHash of an already-decoded image — shared with the video path
+    * (per-frame hashing over y4m luma planes, Y4mCodec.temporalDhash). */
+  def dhashOf(img: ImageCodec.Image): Long = {
     val thumb = ImageCodec.resizeBilinear(ImageCodec.toLuma(img), 9, 8)
     var sig = 0L
     var y = 0

@@ -166,6 +166,58 @@ object Y4mCodec {
     out.toArray
   }
 
+  /** TEMPORAL perceptual signature for video near-dup (v3): per-bit
+    * MAJORITY vote over the dHashes of every `stride`-th frame's luma
+    * plane — one fused pass, chroma never read, 64 ints of state. Why
+    * majority instead of position-wise combination: it is invariant to
+    * frame ORDER and robust to frame-set edits — trimming a few leading
+    * frames or a transcode's luma remap (gradient-sign preserving) moves
+    * only near-tie bits, so a trimmed+re-encoded twin lands within a few
+    * bits while unrelated videos stay ~32 apart (uncorrelated dHashes;
+    * margins pinned in Y4mCodecSpec). Ties (exactly half the frames set
+    * a bit) resolve to 0 — deterministic. Throws on non-y4m payloads
+    * (the expression layer maps that to SQL null). */
+  def temporalDhash(bytes: Array[Byte], stride: Int): Long = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val meta = parseMeta(bytes)
+    val n = meta.width * meta.height
+    val counts = new Array[Int](64)
+    var total = 0
+    var pos = meta.headerEnd
+    var f = 0
+    while (f < meta.nFrames) {
+      pos += 5
+      while (bytes(pos) != '\n') pos += 1
+      pos += 1
+      if (f % stride == 0) {
+        val luma = new Array[Float](n)
+        var i = 0
+        while (i < n) { luma(i) = (bytes(pos + i) & 0xFF) / 255f; i += 1 }
+        val h = ImageHash.dhashOf(ImageCodec.Image(meta.width, meta.height, 1, luma))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        total += 1
+      }
+      pos += meta.frameSize
+      f += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * counts(b) > total) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  /** Boxed variant for the Catalyst expression (null = not y4m). */
+  def temporalDhashOrNull(bytes: Array[Byte], stride: Int): java.lang.Long =
+    try java.lang.Long.valueOf(temporalDhash(bytes, stride))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   /** Encode grayscale frames (luma in [0, 1]) as a C420 y4m stream with
     * neutral chroma — the fixture/planting side. */
   def encode(width: Int, height: Int, frames: Seq[Array[Float]]): Array[Byte] = {

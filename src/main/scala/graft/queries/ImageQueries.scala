@@ -119,6 +119,26 @@ object ImageQueries {
         .orderBy("video_id")
     }),
 
+    // VIDEO near-dup over sampled-frame perceptual hashes (the last
+    // modality gap at the operator level, VERDICT r5 #4): each y4m
+    // payload is reduced IN THE SCAN STAGE to a 64-bit temporal signature
+    // (per-bit majority over every frame's luma dHash —
+    // y4m_temporal_dhash; pixels never reach a shuffle), then the shared
+    // combination-chunk pairing (Dedup.hashNearDup, pigeonhole-complete
+    // at hamming <= 8) recovers the planted trimmed+luma-remapped twins
+    // ('-d', idx%20==6) with recall AND precision 1.0 — twins land
+    // within ~2 bits (gradient-sign-preserving remap), organic videos
+    // ~32 apart (margins pinned in Y4mCodecSpec).
+    "v3_video_neardup" -> ((s, dir) => {
+      graft.operators.Dedup.hashNearDup(
+        VideoGen.readVideos(s, dir)
+          .select(col("video_id").as("id"),
+            y4m_temporal_dhash(col("bytes")).as("sig")),
+        maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Video TEMPORAL quality flagging: y4m luma planes reduced in the scan
     // stage to [n_frames, mean_luma, mean |Δ frame-mean|] — static videos
     // (planted at idx%20==3, identical frames, delta exactly 0) and
@@ -184,6 +204,14 @@ object ImageQueries {
          |FROM read_parquet('${nearDupGlob(sf)}')
          |WHERE image_id NOT LIKE '%-t'
          |  AND CAST(substr(image_id, 6, 8) AS INTEGER) % 10 = 7
+         |ORDER BY 1, 2""".stripMargin,
+    // VideoGen's planted twin set, stated from the id — the engine
+    // recovers it from the y4m luma planes alone.
+    "v3_video_neardup" ->
+      s"""SELECT video_id AS id_a, video_id || '-d' AS id_b
+         |FROM read_parquet('${videosGlob(sf)}')
+         |WHERE video_id NOT LIKE '%-d'
+         |  AND CAST(substr(video_id, 5, 8) AS INTEGER) % 20 = 6
          |ORDER BY 1, 2""".stripMargin,
     // MixedVideoGen's planting rules, stated from the id — the engine
     // derives the same columns from the BYTES (y4m header / H.264 SPS).

@@ -49,6 +49,32 @@ class Y4mCodecSpec extends AnyFunSuite {
     assert(math.abs(means(2) - quantize(0.7f)) < 1e-4)
   }
 
+  test("temporalDhash: twins within 3 bits, organic videos >= 12 apart (v3 margins)") {
+    import graft.fixtures.VideoGen
+    // planted trimmed+remapped twins: the v3 oracle's recall margin
+    val twinIdx = (0L until 400L).filter(_ % 20 == 6)
+    assert(twinIdx.size == 20)
+    twinIdx.foreach { i =>
+      val a = temporalDhash(VideoGen.videoRow(i).bytes, 1)
+      val b = temporalDhash(VideoGen.twinRow(i).bytes, 1)
+      val d = java.lang.Long.bitCount(a ^ b)
+      assert(d <= 3, s"twin $i drifted $d bits")
+    }
+    // organic separation: the v3 oracle's precision margin (pairwise over
+    // a 60-video sample, all planting classes included)
+    val sigs = (0L until 60L).map(i => temporalDhash(VideoGen.videoRow(i).bytes, 1))
+    for (i <- sigs.indices; j <- (i + 1) until sigs.size) {
+      val d = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+      assert(d >= 12, s"organic videos $i/$j only $d bits apart")
+    }
+    // majority vote is frame-order/set robust: stride sampling agrees
+    val full = temporalDhash(VideoGen.videoRow(6L).bytes, 1)
+    val strided = temporalDhash(VideoGen.videoRow(6L).bytes, 3)
+    assert(java.lang.Long.bitCount(full ^ strided) <= 3)
+    // non-y4m payloads -> null in the expression layer
+    assert(temporalDhashOrNull("P6\n1 1\n255\n".getBytes("US-ASCII"), 1) == null)
+  }
+
   test("malformed streams are rejected loudly") {
     assert(!isY4m("P6\n1 1\n255\n".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](parseMeta(Array[Byte](1, 2, 3)))
