@@ -232,6 +232,32 @@ object Bench {
       if (needsImages) graft.fixtures.MixedVideoGen.ensure(sparkGen, sfDir) else ""
     val nearDupPath =
       if (needsImages) graft.fixtures.NearDupImageGen.ensure(sparkGen, sfDir) else ""
+
+    // --- phase 0.5: JIT warmup + ground truth — one BATCH pass of the
+    // streaming pipeline (before ANY measured run, so no run benefits
+    // from being later), keeping the exact expected sink row count.
+    val batchTruth = pipeline(
+      sparkGen.read.parquet(clipsPath).drop("p_codec", "p_bucket")).count()
+    val nUpdates = sparkGen.read.parquet(updatesPath).count()
+    sparkGen.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    // --- phase 0.75: EARLY headline throughput (r6, VERDICT r5 #8): one
+    // streaming run at headline parallelism BEFORE the query sweep; its
+    // late twin (phase 2) runs after. local[32] has ranged 9.7k-13.3k
+    // across identical binaries — reporting both ends of the run bounds
+    // the within-run host drift instead of leaving it an excuse.
+    val thrEarly = scala.util.Try {
+      val s = session(cpusHead, streamShuffle)
+      try { warmPageCache(clipsPath); streamRun(s, clipsPath, nClips)._1 }
+      finally {
+        s.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+    }.getOrElse(-1.0)
+
+    // query sweep runs on a fresh session at headline parallelism
+    val sparkQ = session(cpusHead, cpusHead)
     // BEST-OF-k (min) per query, k=2 default — single-shot times produced
     // phantom regressions three rounds running (r4: c10 +36%, c11 +52% on
     // untouched kernels; r3: q8/q9/s1 — all snapped back next round).
@@ -261,9 +287,21 @@ object Bench {
       queryFilter == "all" ||
         queryFilter.split(",").map(_.trim).filter(_.nonEmpty).exists(n.startsWith)
     }
-    val queryTimes = timedQueries.map { case (name, fn) =>
+    val queryRuns = timedQueries.map { case (name, fn) =>
       def once(): Double = {
-        sparkGen.catalog.clearCache()
+        sparkQ.catalog.clearCache()
+        // BLOCK-MANAGER HYGIENE (r6, the organic-variant anomaly): the
+        // incremental/dedup queries localCheckpoint their delta stages,
+        // and those RDD blocks outlive catalog.clearCache() — they are
+        // reclaimed only when the ContextCleaner GCs the references.
+        // Over a 70+-query sweep the leftovers accumulate in the storage
+        // region, so queries late in the sweep (the organic variants run
+        // dead last) could execute memory-squeezed — the r5 driver run
+        // recorded c15org 6x the builder's isolated number. Explicitly
+        // unpersist every surviving RDD before each timed run so every
+        // query starts from the same clean block manager.
+        sparkQ.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = true))
         warmPageCache(clipsPath)
         warmPageCache(updatesPath)
         warmPageCache(sfDir)
@@ -273,21 +311,18 @@ object Bench {
           warmPageCache(nearDupPath)
         }
         val t0 = System.nanoTime()
-        fn(sparkGen, sfDir).write.format("noop").mode("overwrite").save()
+        fn(sparkQ, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = try (1 to queryK).map(_ => once()).min
-        catch { case _: Throwable => -1.0 }
-      name -> t
+      // record EVERY run of the best-of-k pair (r6: the min alone made
+      // driver-side outliers undiagnosable — VERDICT r5 anomaly #2)
+      val ts = try (1 to queryK).map(_ => once())
+        catch { case _: Throwable => Seq(-1.0) }
+      name -> ts
     }
+    val queryTimes = queryRuns.map { case (n, ts) => n -> ts.min }
 
-    // --- phase 1.5: JIT warmup + ground truth — one BATCH pass of the
-    // same pipeline (no measured run benefits from being later), keeping
-    // the exact expected sink row count.
-    val batchTruth = pipeline(
-      sparkGen.read.parquet(clipsPath).drop("p_codec", "p_bucket")).count()
-    val nUpdates = sparkGen.read.parquet(updatesPath).count()
-    sparkGen.stop()
+    sparkQ.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
     // Best-of-k per level: single-shot streaming runs bounce +-20% in this
@@ -406,6 +441,11 @@ object Bench {
     val eff14 = (cap4 / cap1) / 4.0
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every run of each best-of-k pair, so a driver-side outlier is
+    // diagnosable from the JSON alone (r6; VERDICT r5 anomaly #2)
+    val qruns = queryRuns.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     def f(d: Double) = if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
     // LinkedHashMap + first-write-wins => stable order and no duplicate
     // keys when cpusHead coincides with a scaling level (the headline
@@ -413,6 +453,8 @@ object Bench {
     // at the same core count)
     val metrics = scala.collection.mutable.LinkedHashMap[String, String]()
     def put(k: String, v: String): Unit = if (!metrics.contains(k)) metrics(k) = v
+    put("throughput_early", f(thrEarly))
+    put("throughput_late", f(thrHead))
     put(s"throughput_local$cpusHead", f(thrHead))
     put(s"throughput_local$cpus4N", f(thr4N))
     put(s"throughput_local$cpusN", f(thrN))
@@ -430,7 +472,7 @@ object Bench {
       Seq(rowsHead, rows4N, rowsN, rows4, rows1).forall(_ == batchTruth).toString
     println(
       s"""{"metric":"clips_per_sec_sustained","value":${f(thrHead)},"unit":"clips/sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","n_clips":$nClips,""" +
+        s""""queries":$qs,"query_runs":$qruns,"sf":"$sfDir","n_clips":$nClips,""" +
         metrics.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}")
   }
 }

@@ -40,20 +40,45 @@ object Dedup {
     *    the execution shape differs.
     *
     * CACHE LIFECYCLE (shared by nearDupJaccard / embeddingNearDup /
-    * audioNearDupShift): the SemiJoin path persists the candidate pair set
-    * (referenced three times — without the stage boundary each reference
-    * would re-run the whole signature/DSP scan) and never explicitly
-    * unpersists it, because the returned DataFrame's lifetime is the
-    * caller's. MEMORY_AND_DISK entries are LRU-evicted and recompute
+    * audioNearDupShift / the incremental variants): the SemiJoin path
+    * persists the candidate pair set (referenced three times — without
+    * the stage boundary each reference would re-run the whole
+    * signature/DSP scan). By default the persist's lifetime is the
+    * caller's — MEMORY_AND_DISK entries are LRU-evicted and recompute
     * correctly, so repeated calls in a long-lived session cost cache
-    * metadata, not correctness — a service running many curation passes
-    * should `spark.catalog.clearCache()` between passes. The Direct path
-    * persists nothing. */
+    * metadata, not correctness. A long-lived curation SERVICE wraps each
+    * pass in [[withCandidates]], which unpersists every candidate stage
+    * registered during the pass on exit (CacheLifecycleSpec pins that
+    * nothing survives). The Direct path persists nothing. */
   sealed trait Rehydration
   object Rehydration {
     case object Auto extends Rehydration
     case object Direct extends Rehydration
     case object SemiJoin extends Rehydration
+  }
+
+  /** SCOPED cache lifecycle (r6, upgrading the documented LRU-only
+    * policy): every candidate-stage persist created while a
+    * [[withCandidates]] scope is active is registered with the scope and
+    * unpersisted when it exits — a long-lived curation service wraps
+    * each pass and leaves the block manager exactly as it found it
+    * (CacheLifecycleSpec pins that). Outside a scope the behavior is
+    * unchanged (caller-owned lifetime, LRU eviction, documented above).
+    * Actions on the returned frames must run INSIDE the scope: after
+    * exit they stay CORRECT but recompute the candidate stage. */
+  private val cacheScope =
+    new scala.util.DynamicVariable[Option[scala.collection.mutable.ArrayBuffer[DataFrame]]](None)
+
+  private def persistCandidates(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheScope.value.foreach(_ += p)
+    p
+  }
+
+  def withCandidates[T](f: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try cacheScope.withValue(Some(buf))(f)
+    finally buf.foreach(_.unpersist(blocking = false))
   }
 
   /** Auto threshold: payloads up to this plan-stats size rehydrate by
@@ -138,8 +163,7 @@ object Dedup {
     // set is referenced once, so no persist and one corpus pass total
     // (see [[Rehydration]] for the trade and the cache lifecycle).
     val pairs0 = minhashLsh(df, textCol, idCol, k, bands)
-    val pairs = if (direct) pairs0
-      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = if (direct) pairs0 else persistCandidates(pairs0)
     def side(s: String, out: String) = {
       val base = if (direct) texts
         else texts.join(broadcast(pairs.select(col(s).as("id")).distinct()),
@@ -179,14 +203,14 @@ object Dedup {
           b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
           .as(Seq("band", "bhash")))
     val db = banded(delta)
-    val cands = banded(corpus).unionByName(db)
+    val cands0 = banded(corpus).unionByName(db)
       .join(broadcast(db.withColumnRenamed("id", "id_d")), Seq("band", "bhash"))
       .filter(col("id") =!= col("id_d"))
       // delta-delta pairs arise in both join orders: normalize + distinct
       .select(least(col("id"), col("id_d")).as("id_a"),
         greatest(col("id"), col("id_d")).as("id_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = persistCandidates(cands0)
     val texts = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
       .unionByName(delta.select(col(idCol).as("id"), col(textCol).as("text")))
       .dropDuplicates("id")
@@ -593,8 +617,7 @@ object Dedup {
     // SemiJoin: only candidate rows' vectors reach a join, the persist is
     // the stage boundary the three references share. Direct: one pass, no
     // persist. See [[Rehydration]] for the switch and cache lifecycle.
-    val pairs = if (direct) pairs0
-      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = if (direct) pairs0 else persistCandidates(pairs0)
     def side(s: String, out: String) = {
       val base = if (direct) vecs
         else vecs.join(broadcast(pairs.select(col(s).as("id")).distinct()),
@@ -757,9 +780,7 @@ object Dedup {
           .select(least(col("x.id"), col("y.id")).as("id_a"),
             greatest(col("x.id"), col("y.id")).as("id_b"))
       }
-    val cands = candsRaw
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = persistCandidates(candsRaw.distinct())
     // Rehydration via broadcast SEMI-JOIN REDUCTION, not a direct join of
     // the candidate set against the corpus: a plain join plans as a
     // sort-merge that hash-shuffles AND sorts the ENTIRE byte column to

@@ -401,6 +401,24 @@ object ClipQueries {
         .orderBy("clip_id")
     }),
 
+    // DECLARATIVE ACTION LIST (the Chrome-Actions analog, r6 — see
+    // graft.operators.Actions): a 3-step `;`-DSL action chain
+    // (VAD strip -> resample to 16k -> transcode to ulaw) compiled to the
+    // engine's fused byte transforms; Catalyst folds all three kernels
+    // into ONE codegen'd scan pass (plan equality with the hand-built
+    // chain pinned in ActionsSpec). Every step has a byte-arithmetic
+    // length contract (c19's frame grid, c17's floor(n*16k/sr), c14's
+    // count-preserving transcode), so the composed output length is
+    // SQL-exact for every organic row.
+    "c21_action_chain" -> ((s, dir) => {
+      val chain = graft.operators.Actions.compile(
+        "strip_silence;resample:16000;transcode:ulaw")
+      chain(ClipGen.readClips(s, dir).select("clip_id", "bytes", "codec", "sr_hz"))
+        .select(col("clip_id"), col("codec"),
+          pcm_sample_count(col("bytes"), col("codec")).as("n_out"))
+        .orderBy("clip_id")
+    }),
+
     // Bounded multi-hop enrichment (J2 IsPath re-expression): clip ->
     // country -> region, depth fixed at plan time; leaf level aggregates.
     "c9_multihop" -> ((s, dir) => {
@@ -533,6 +551,18 @@ object ClipQueries {
            |UNION ALL
            |SELECT clip_id || '-g', CAST(2 * vf * fs AS INTEGER) FROM c WHERE cls = 2
            |ORDER BY 1""".stripMargin,
+      // the composed length contract of the 3-step action chain: voiced
+      // full frames (c19) -> floor(n*16000/sr) (c17) -> count-preserving
+      // transcode (c14)
+      "c21_action_chain" ->
+        s"""WITH c AS (
+           |  SELECT clip_id, sr_hz, sr_hz // 20 AS fs,
+           |    CAST(CASE WHEN codec = 'pcm16' THEN octet_length(bytes) // 2
+           |         ELSE octet_length(bytes) END AS BIGINT) AS n
+           |  FROM $clips)
+           |SELECT clip_id, 'ulaw' AS codec,
+           |  CAST(((n // fs) * fs * 16000) // sr_hz AS INTEGER) AS n_out
+           |FROM c ORDER BY clip_id""".stripMargin,
       "c13_custom_sessions" ->
         s"""WITH ev AS (
            |  SELECT person_idx, epoch_ms(event_time) AS ms, dur_ms
