@@ -13,7 +13,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * per micro-batch with rows, rates, state-store size and watermark lag.
   * Readable back as a DataFrame via [[MetricsListener.read]].
   */
-final class MetricsListener(path: String) extends StreamingQueryListener {
+final class MetricsListener(path: String, promPath: Option[String] = None)
+    extends StreamingQueryListener {
   Files.createDirectories(Paths.get(path).getParent)
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -47,6 +48,47 @@ final class MetricsListener(path: String) extends StreamingQueryListener {
         s""""watermark":"$watermark","event_time_max":"$eventMax"}""" + "\n"
     Files.write(Paths.get(path), line.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    promPath.foreach(writeProm(_, p, stateRows, stateBytes, watermark, eventMax))
+  }
+
+  /** EXPORTER surface (r6; the reference's Prometheus middleware analog,
+    * `/root/reference/parse/metrics.mw.go` + `metrics/prometheus/`): the
+    * latest trigger's manifest fields rendered in Prometheus text
+    * exposition format to a snapshot file — the materialized equivalent
+    * of a /metrics scrape target (this sandbox has no ports; a real
+    * deployment serves the same text from an HTTP handler). Written
+    * ATOMICALLY (temp + move) so a concurrent scrape never reads a torn
+    * snapshot. */
+  private def writeProm(prom: String,
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+      stateRows: Long, stateBytes: Long,
+      watermark: String, eventMax: String): Unit = {
+    def ms(s: String): Long =
+      try java.time.Instant.parse(s).toEpochMilli catch { case _: Exception => 0L }
+    val lagMs = if (watermark.isEmpty || eventMax.isEmpty) 0L
+      else math.max(0L, ms(eventMax) - ms(watermark))
+    val took = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+    val labels = s"""{query_id="${p.id}"}"""
+    def gauge(name: String, v: String): String =
+      s"# TYPE $name gauge\n$name$labels $v\n"
+    val text =
+      gauge("graft_batch_id", p.batchId.toString) +
+        gauge("graft_input_rows", p.numInputRows.toString) + // manifest Requests
+        gauge("graft_sink_rows", p.sink.numOutputRows.toString) + // manifest Responses
+        gauge("graft_took_ms", took.toString) + // manifest Took
+        gauge("graft_processed_rows_per_sec",
+          if (p.processedRowsPerSecond.isNaN || p.processedRowsPerSecond.isInfinite) "0"
+          else p.processedRowsPerSecond.toString) +
+        gauge("graft_state_rows", stateRows.toString) +
+        gauge("graft_state_bytes", stateBytes.toString) +
+        gauge("graft_watermark_lag_ms", lagMs.toString)
+    val target = Paths.get(prom)
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, text.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def safe(d: Double): String =
@@ -56,6 +98,16 @@ final class MetricsListener(path: String) extends StreamingQueryListener {
 object MetricsListener {
   def attach(spark: SparkSession, path: String): MetricsListener = {
     val l = new MetricsListener(path)
+    spark.streams.addListener(l)
+    l
+  }
+
+  /** Attach with the Prometheus-snapshot exporter enabled (see
+    * [[MetricsListener.writeProm]]): `promPath` is overwritten atomically
+    * on every trigger with the latest manifest gauges. */
+  def attachWithExporter(spark: SparkSession, path: String,
+                         promPath: String): MetricsListener = {
+    val l = new MetricsListener(path, Some(promPath))
     spark.streams.addListener(l)
     l
   }
