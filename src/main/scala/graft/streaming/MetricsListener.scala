@@ -18,7 +18,29 @@ final class MetricsListener(path: String, promPath: Option[String] = None)
   Files.createDirectories(Paths.get(path).getParent)
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+
+  /** Error-manifest line on abnormal termination (r6; the errs taxonomy's
+    * manifest hook — classification of the LIVE throwable happens in
+    * Health.check's query_active probe; the event only carries the
+    * rendered message). Plain-JSONL rows with an `event` field; metric
+    * readers filter on num_input_rows > 0 and never see them. */
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = synchronized {
+    e.exception.foreach { msg =>
+      val esc = msg.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val line = s"""{"query_id":"${e.id}","event":"terminated_with_error",""" +
+        s""""error":"$esc"}""" + "\n"
+      Files.write(Paths.get(path), line.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+  }
 
   override def onQueryProgress(e: QueryProgressEvent): Unit = synchronized {
     val p = e.progress
