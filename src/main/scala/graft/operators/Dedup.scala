@@ -509,11 +509,12 @@ object Dedup {
     *
     * One signature scan, one key-shuffle of (id, sig) rows — the payload
     * the signature came from never rides anything. */
-  def hashNearDup(sigs: DataFrame, maxHamming: Int = 3,
-                  salts: Int = 1): DataFrame = {
+  /** The candidate-key columns for a given radius — shared by the batch
+    * pairing, the stored key table ([[hashKeys]]) and the incremental
+    * path. See [[hashNearDup]] for the scheme and its scale math. */
+  private def hashKeyCols(maxHamming: Int): Seq[Column] = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
-    require(salts >= 1, s"salts must be >= 1, got $salts")
     val keyCols: Seq[Column] =
       if (maxHamming <= 4) {
         val nChunks = maxHamming + 1
@@ -543,8 +544,54 @@ object Dedup {
             shiftleft(acc, 16).bitwiseOR(v))
         }
       }
-    val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array(keyCols: _*)).as(Seq("chunk", "ckey")))
+    keyCols
+  }
+
+  /** The EXPLODED candidate-key table of a signature set: (id, sig,
+    * chunk, ckey) — what a pipeline stores NEXT TO the signatures at
+    * ingest (the audioFingerprints discipline applied to hash keys), so
+    * every later incremental batch joins against stored columns without
+    * recomputing a single key. C(maxHamming+4, 4) rows per signature at
+    * wide radii — linear, scan-only, parquet-compressed. */
+  def hashKeys(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
+    sigs.select(col("id"), col("sig"),
+      posexplode(array(hashKeyCols(maxHamming): _*)).as(Seq("chunk", "ckey")))
+
+  /** INCREMENTAL hash near-dup — the i4/v3/d3 analog of
+    * [[audioNearDupIncremental]]: a DELTA of new signatures pairs against
+    * a corpus whose candidate keys are already materialized
+    * ([[hashKeys]], stored at ingest). The corpus pays ONE scan of its
+    * stored key table (zero key recomputation, zero decode); candidates
+    * come from joining it against the BROADCAST chunk-keyed delta
+    * (delta-sized), so corpus-corpus pairs cannot form. Delta-internal
+    * pairs come from the batch operator over the delta alone. On a
+    * corpus whose every qualifying pair touches the delta the output
+    * equals the batch operator's (spec-pinned, and the v4 oracle states
+    * it on planted video twins).
+    *
+    * CONTRACT: `corpusKeys` must be MATERIALIZED columns (a stored
+    * table / checkpoint) — the same inferred-IsNotNull rationale as
+    * [[audioNearDupIncremental]]'s fingerprint contract. */
+  def hashNearDupIncremental(corpusKeys: DataFrame, deltaSigs: DataFrame,
+                             maxHamming: Int = 3): DataFrame = {
+    val delta = deltaSigs.select(col("id"), col("sig")).localCheckpoint(true)
+    val dKeys = hashKeys(delta, maxHamming)
+      .select(col("id").as("id_d"), col("sig").as("sig_d"), col("chunk"), col("ckey"))
+    val cross = corpusKeys
+      .join(broadcast(dKeys), Seq("chunk", "ckey"))
+      .filter(col("id") =!= col("id_d"))
+      .select(least(col("id"), col("id_d")).as("id_a"),
+        greatest(col("id"), col("id_d")).as("id_b"),
+        bit_count(col("sig").bitwiseXOR(col("sig_d"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    cross.unionByName(hashNearDup(delta, maxHamming)).distinct()
+  }
+
+  def hashNearDup(sigs: DataFrame, maxHamming: Int = 3,
+                  salts: Int = 1): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val chunked = hashKeys(sigs, maxHamming)
     // GroupBy-bucket pairing (single signature scan — see minhashLsh).
     // `salts` > 1 engages hot-bucket CELL pairing — a corpus with many
     // identical signatures (exact-dup images, boilerplate text) funnels

@@ -139,6 +139,29 @@ object ImageQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL video near-dup (the c20/d8 discipline on the hash
+    // family, r6): the '-d' twins arrive as a DELTA against a corpus
+    // whose candidate keys are already materialized (Dedup.hashKeys —
+    // the stored-at-ingest key table; built in-query here, stored next
+    // to the signatures in production). The corpus pays one stored-key
+    // scan and ZERO signature/key recomputation; candidates come from
+    // the broadcast chunk-keyed delta. Same planted oracle as v3:
+    // equality = the incremental path has exact recall and precision.
+    "v4_video_neardup_inc" -> ((s, dir) => {
+      val sigs = VideoGen.readVideos(s, dir)
+        .select(col("video_id").as("id"),
+          y4m_temporal_dhash(col("bytes")).as("sig"))
+      // MATERIALIZE the key table, as production would (the c20 contract:
+      // kernel-computed join keys pay the inferred-constraint tax)
+      val corpusKeys = graft.operators.Dedup.hashKeys(
+        sigs.filter(!col("id").endsWith("-d")), maxHamming = 8)
+        .localCheckpoint(true)
+      graft.operators.Dedup.hashNearDupIncremental(
+        corpusKeys, sigs.filter(col("id").endsWith("-d")), maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Video TEMPORAL quality flagging: y4m luma planes reduced in the scan
     // stage to [n_frames, mean_luma, mean |Δ frame-mean|] — static videos
     // (planted at idx%20==3, identical frames, delta exactly 0) and
@@ -208,6 +231,15 @@ object ImageQueries {
     // VideoGen's planted twin set, stated from the id — the engine
     // recovers it from the y4m luma planes alone.
     "v3_video_neardup" ->
+      s"""SELECT video_id AS id_a, video_id || '-d' AS id_b
+         |FROM read_parquet('${videosGlob(sf)}')
+         |WHERE video_id NOT LIKE '%-d'
+         |  AND CAST(substr(video_id, 5, 8) AS INTEGER) % 20 = 6
+         |ORDER BY 1, 2""".stripMargin,
+    // incremental path, same planted truth (every true pair touches the
+    // delta: the corpus is organic-collision-free at hamming 8 — v3's
+    // own precision property, margins in Y4mCodecSpec)
+    "v4_video_neardup_inc" ->
       s"""SELECT video_id AS id_a, video_id || '-d' AS id_b
          |FROM read_parquet('${videosGlob(sf)}')
          |WHERE video_id NOT LIKE '%-d'

@@ -58,6 +58,31 @@ class HashNearDupScaleSpec extends AnyFunSuite {
     assert(plain.size == 300 * 299 / 2) // the identical-sig clique
   }
 
+  test("incremental == batch on delta-touching pairs; corpus keys never recomputed") {
+    import spark.implicits._
+    for (h <- Seq(3, 8)) {
+      val r = rng(0x1AC + h)
+      val corpus = (0 until 300).map(i => (s"c-$i", r.nextLong()))
+      // delta: twins of corpus rows (within h) plus twin PAIRS internal
+      // to the delta itself, plus unrelated organics
+      val delta = corpus.take(40).map { case (id, s) => (id + "-t", flip(s, h, r)) } ++
+        Seq(("dd-0", 0x0123456789ABCDEFL), ("dd-1", flip(0x0123456789ABCDEFL, h, r))) ++
+        (0 until 30).map(i => (s"dn-$i", r.nextLong()))
+      val corpusKeys = Dedup.hashKeys(corpus.toDF("id", "sig"), h).localCheckpoint(true)
+      val inc = Dedup.hashNearDupIncremental(corpusKeys, delta.toDF("id", "sig"), h)
+        .select("id_a", "id_b").as[(String, String)].collect().toSet
+      // batch over the union, restricted to pairs touching the delta
+      val deltaIds = delta.map(_._1).toSet
+      val batch = Dedup.hashNearDup((corpus ++ delta).toDF("id", "sig"), h)
+        .select("id_a", "id_b").as[(String, String)].collect().toSet
+        .filter(p => deltaIds(p._1) || deltaIds(p._2))
+      assert(inc == batch,
+        s"h=$h missing=${batch.diff(inc).take(3)} extra=${inc.diff(batch).take(3)}")
+      assert(inc.exists(p => p._1 == "dd-0" && p._2 == "dd-1"), s"h=$h delta-internal pair lost")
+      assert(corpus.take(40).map { case (id, _) => (id, id + "-t") }.toSet.subsetOf(inc))
+    }
+  }
+
   test("occupancy gate: organic candidate volume ~linear in n; >=1000x under the old scheme") {
     // independent re-derivation of both bucketings over 20k uniform
     // 64-bit signatures (fixed seed, no Spark): candidate pairs =
