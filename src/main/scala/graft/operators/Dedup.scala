@@ -679,6 +679,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), floor(col("cos") * 1e6).as("cos_x1e6"))
   }
 
+  /** The exploded hyperplane-LSH bucket table of a vector set:
+    * (id, table, bucket) — stored next to the vectors at ingest (the
+    * hashKeys/audioFingerprints discipline), so incremental batches join
+    * against stored columns with zero bucket recomputation. */
+  def embeddingBuckets(df: DataFrame, vecCol: String, idCol: String,
+                       nBits: Int = 8, nTables: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+      posexplode(vec_lsh_buckets(col(vecCol), lit(nBits), lit(nTables)))
+        .as(Seq("table", "bucket")))
+
+  /** INCREMENTAL embedding near-dup — completes the incremental family
+    * (text d8, audio c20, hash v4, embeddings here): a DELTA of new
+    * vectors pairs against a corpus whose LSH buckets are already
+    * materialized ([[embeddingBuckets]]). One stored-bucket scan on the
+    * corpus, candidates from the BROADCAST bucketed delta (delta-sized,
+    * corpus-corpus pairs cannot form), exact quantized-cosine verify on
+    * vectors rehydrated by broadcast semi-join reduction, delta-internal
+    * pairs via the batch operator. Same output schema as
+    * [[embeddingNearDup]].
+    *
+    * CONTRACT: `corpusBuckets` must be MATERIALIZED columns (stored
+    * table / checkpoint) — the audioNearDupIncremental rationale. */
+  def embeddingNearDupIncremental(corpusBuckets: DataFrame, corpusVecs: DataFrame,
+      delta0: DataFrame, vecCol: String, idCol: String,
+      threshold: Double = 0.90, nBits: Int = 8, nTables: Int = 16): DataFrame = {
+    val delta = delta0.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+    val dBuckets = embeddingBuckets(delta, "v", "id", nBits, nTables)
+      .withColumnRenamed("id", "id_d")
+    val cross = corpusBuckets
+      .join(broadcast(dBuckets), Seq("table", "bucket"))
+      .filter(col("id") =!= col("id_d"))
+      .select(least(col("id"), col("id_d")).as("id_a"),
+        greatest(col("id"), col("id_d")).as("id_b"))
+      .distinct()
+      // eager: the two broadcast id-set subtrees below would otherwise
+      // race the cache fill (the audioNearDupIncremental lesson)
+      .localCheckpoint(true)
+    val vecs = corpusVecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .unionByName(delta)
+      .dropDuplicates("id")
+    def side(s: String, out: String) = vecs
+      .join(broadcast(cross.select(col(s).as("id")).distinct()),
+        Seq("id"), "leftsemi")
+      .select(col("id").as(s), col("v").as(out))
+    val crossVerified = cross
+      .join(side("id_a", "v_a"), "id_a")
+      .join(side("id_b", "v_b"), "id_b")
+      .withColumn("cos", qcosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), floor(col("cos") * 1e6).as("cos_x1e6"))
+    crossVerified
+      .unionByName(embeddingNearDup(delta, "v", "id", threshold, nBits, nTables))
+      .distinct()
+  }
+
   /** AUDIO near-dup: parametric acoustic fingerprints. Each clip is
     * reduced IN THE SCAN STAGE (decode+DSP runs once, bytes never reach a
     * shuffle) to (sr, n_samples, f1, f2) — `pcm_tone_pair` estimates the

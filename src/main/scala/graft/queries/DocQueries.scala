@@ -337,6 +337,31 @@ object DocQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL embedding near-dup (r6 — completes the incremental
+    // family: text d8, audio c20, hash v4, embeddings here): a delta of
+    // exact copies (+1e6 band, vec_id%9==0) and sign-flip near copies
+    // (+2e6 band, vec_id%13==0, components i%11==0 negated — cos ~0.82,
+    // bit-exact float ops both engines reproduce) arrives against a
+    // corpus whose LSH buckets are already materialized
+    // (Dedup.embeddingBuckets, the stored-at-ingest table). Oracle =
+    // d4's exact all-pairs cosine RESTRICTED to delta-touching pairs.
+    "d9_embedding_neardup_inc" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val delta = e.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 13 === 0)
+          .select((col("vec_id") + 2000000).as("vec_id"),
+            transform(col("embedding"),
+              (x, i) => when(i % 11 === 0, -x).otherwise(x)).as("embedding")))
+      // MATERIALIZED bucket table, as production stores it (the c20/v4
+      // contract: kernel-computed join keys pay the inferred-constraint tax)
+      val corpusBuckets = Dedup.embeddingBuckets(e, "embedding", "vec_id",
+        nBits = 4, nTables = 16).localCheckpoint(true)
+      Dedup.embeddingNearDupIncremental(corpusBuckets, e, delta,
+        "embedding", "vec_id", threshold = 0.5, nBits = 4, nTables = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Brute-force cosine top-k (oracled): probe set = vec_id < 8, k = 10.
     "s1_knn_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -876,6 +901,31 @@ object DocQueries {
          |  FROM qv a JOIN qv b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, CAST(floor(cos * 1e6) AS BIGINT) AS cos_x1e6
          |FROM scored WHERE cos >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // the exact all-pairs cosine truth over corpus + delta, restricted to
+    // delta-touching pairs (delta ids in the +1e6/+2e6 bands); the delta's
+    // sign flips are applied BEFORE quantization, matching the engine
+    // (DuckDB lambda index is 1-based, Spark's 0-based -> (i-1) % 11)
+    "d9_embedding_neardup_inc" ->
+      s"""WITH dsrc AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 9 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000,
+         |    list_transform(embedding,
+         |      (x, i) -> CASE WHEN (i - 1) % 11 = 0 THEN -x ELSE x END)
+         |  FROM embeddings WHERE vec_id % 13 = 0),
+         |qv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+         |  FROM dsrc),
+         |scored AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${pairScoreSql("a.q", "b.q")} AS cos
+         |  FROM qv a JOIN qv b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, CAST(floor(cos * 1e6) AS BIGINT) AS cos_x1e6
+         |FROM scored WHERE cos >= 0.5 AND (id_a >= 1000000 OR id_b >= 1000000)
+         |ORDER BY id_a, id_b""".stripMargin,
     "s1_knn_brute" ->
       s"""WITH $qvecSql,
          |scored AS (

@@ -385,6 +385,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missing: ${want.diff(pairs)}, extra: ${pairs.diff(want)}")
   }
 
+  test("incremental embedding near-dup == batch on delta-touching pairs (r6)") {
+    // the d9 shape at unit scale: corpus buckets stored (materialized),
+    // delta = exact + perturbed copies; incremental output must equal
+    // the batch operator over the union, restricted to delta pairs
+    val corpus = embAug
+    val delta = embAug.filter($"vec_id" % 3 === 0)
+      .select(($"vec_id" + 500000).as("vec_id"), $"embedding")
+    val corpusBuckets = Dedup.embeddingBuckets(corpus, "embedding", "vec_id",
+      nBits = 4, nTables = 16).localCheckpoint(true)
+    val inc = Dedup.embeddingNearDupIncremental(corpusBuckets, corpus, delta,
+      "embedding", "vec_id", threshold = 0.8, nBits = 4, nTables = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batch = Dedup.embeddingNearDup(corpus.unionByName(delta),
+      "embedding", "vec_id", threshold = 0.8, nBits = 4, nTables = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 >= 500000 || p._2 >= 500000)
+    assert(inc.nonEmpty)
+    assert(inc == batch, s"missing: ${batch.diff(inc)}, extra: ${inc.diff(batch)}")
+  }
+
   test("IVF kNN returns the exact brute-force top-5 on planted neighbors") {
     val queries = embAug.filter($"vec_id" < 8)
     val cents = Ivf.fit(embAug, "embedding", nList = 32)
