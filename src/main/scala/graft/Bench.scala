@@ -282,7 +282,19 @@ object Bench {
           ClipGen.readClips(s, dir).select("clip_id", "bytes", "codec", "sr_hz"))),
       "c15org_neardup_shift_organic" -> ((s: SparkSession, dir: String) =>
         graft.operators.Dedup.audioNearDupShift(
-          ClipGen.readClips(s, dir).select("clip_id", "bytes", "codec", "sr_hz"))))
+          ClipGen.readClips(s, dir).select("clip_id", "bytes", "codec", "sr_hz"))),
+      // r6: c10's ORACLED form became the planted band-center-tone argmax
+      // (synthesized input); this keeps the r2-r5 timing identity — the
+      // 8-band Goertzel over the ORGANIC bytes — measurable round-over-
+      // round (bench-only: float band energies have no SQL oracle).
+      "c10org_band_energies_organic" -> ((s: SparkSession, dir: String) =>
+        ClipGen.readClips(s, dir)
+          .withColumn("bands", graft.functions.GraftFunctions.pcm_band_energies(
+            col("bytes"), col("codec"), col("sr_hz")))
+          .select(col("clip_id"),
+            element_at(col("bands"), 1).as("band1"),
+            element_at(col("bands"), 4).as("band4"),
+            element_at(col("bands"), 8).as("band8"))))
     val timedQueries = selectedQueries ++ organicVariants.filter { case (n, _) =>
       queryFilter == "all" ||
         queryFilter.split(",").map(_.trim).filter(_.nonEmpty).exists(n.startsWith)
