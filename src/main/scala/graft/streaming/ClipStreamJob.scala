@@ -302,4 +302,39 @@ object ClipStreamJob {
         ()
       }
       .start()
+
+  /** Outcome of a [[supervise]]d run: how it ended plus the restart
+    * trail (one classified entry per failed attempt). */
+  final case class SuperviseReport(completed: Boolean, attempts: Int,
+      failures: Seq[(Errors.ErrorClass, String)])
+
+  /** SUPERVISED streaming run — the consumer of the error taxonomy (the
+    * reference classifies fetch errors to decide retry-vs-fail;
+    * `errs/errors.go` + the scraper's retry loop): start the query via
+    * `startQuery`, await termination, and on failure classify the live
+    * StreamingQueryException through [[Errors.classify]] — RESTART (same
+    * checkpoint => exactly-once resume, the CrashKillSpec contract) while
+    * the class is retryable and attempts remain; rethrow terminal
+    * classes immediately (an InvalidSpec retried forever is the real
+    * operational bug this exists to prevent). The restart trail is
+    * returned for the metrics/error manifest. */
+  def supervise(startQuery: () => StreamingQuery,
+                maxRestarts: Int = 3): SuperviseReport = {
+    val failures = scala.collection.mutable.ArrayBuffer[(Errors.ErrorClass, String)]()
+    var attempts = 0
+    while (attempts <= maxRestarts) {
+      attempts += 1
+      val q = startQuery()
+      try {
+        q.awaitTermination()
+        return SuperviseReport(completed = true, attempts, failures.toSeq)
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          val cls = Errors.classify(e)
+          failures += ((cls, Option(e.getMessage).getOrElse("")))
+          if (!cls.retryable || attempts > maxRestarts) throw e
+      }
+    }
+    SuperviseReport(completed = false, attempts, failures.toSeq)
+  }
 }

@@ -48,6 +48,48 @@ class HealthSpec extends AnyFunSuite {
       .forall(!_.retryable))
   }
 
+  test("supervise: restarts on Transient failures, rethrows terminal classes at once") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ctx = spark.sqlContext
+    // flaky sink: first two attempts die with an IOException (Transient),
+    // the third completes — supervise must restart from the SAME
+    // checkpoint and report the classified trail
+    val in = MemoryStream[Int]
+    in.addData(1, 2, 3)
+    val ckpt = Files.createTempDirectory("sup-ckpt").toString
+    val fails = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start() = in.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (fails.getAndIncrement() < 2) throw new java.io.IOException("flaky io")
+        b.count(); ()
+      }.start()
+    val report = ClipStreamJob.supervise(() => start(), maxRestarts = 3)
+    assert(report.completed && report.attempts == 3, report.toString)
+    assert(report.failures.map(_._1) == Seq(Errors.Transient, Errors.Transient))
+
+    // terminal class: an InvalidSpec failure must NOT be retried
+    val in2 = MemoryStream[Int]
+    in2.addData(1)
+    val ckpt2 = Files.createTempDirectory("sup-ckpt2").toString
+    val starts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def startBad() = {
+      starts.incrementAndGet()
+      in2.toDF().writeStream
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          if (true) throw new IllegalArgumentException("unknown action: click")
+          ()
+        }.start()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      ClipStreamJob.supervise(() => startBad(), maxRestarts = 3))
+    assert(starts.get() == 1, s"terminal class was retried ${starts.get()} times")
+  }
+
   test("health probes: Ok while live, Down when stopped, sink failures detected") {
     implicit val ctx = spark.sqlContext
     val dir = Files.createTempDirectory("health")
