@@ -100,4 +100,40 @@ object Tuning {
     }.sorted
     order(math.max(0, math.ceil(targetRecall * order.length).toInt - 1))
   }
+
+  /** Capacity planning for [[Dedup.hashNearDup]]'s candidate stage at
+    * corpus size `n` with near-uniform signatures: (emissions per row,
+    * expected organic candidate pairs). Mirrors the operator's scheme
+    * selection exactly — single-chunk pigeonhole for maxHamming <= 4,
+    * 4-subset combination keys for >= 5 — and uses the balls-in-bins
+    * expectation sum_buckets C(occ, 2) = K * C(n, 2) / B for K emissions
+    * over B key values each. Recall is 1.0 by construction in both
+    * schemes (pigeonhole), so this is the COST side only — the number a
+    * 100 TB planner compares against its shuffle/compute budget
+    * (HashNearDupScaleSpec validates the arithmetic against a measured
+    * occupancy simulation). */
+  def hashNearDupCost(n: Long, maxHamming: Int): (Long, Double) = {
+    require(maxHamming >= 0 && maxHamming <= 31)
+    val pairs = n.toDouble * (n - 1) / 2.0
+    if (maxHamming <= 4) {
+      val nChunks = maxHamming + 1
+      val w = (64 + nChunks - 1) / nChunks
+      // per chunk i of width w_i: B = 2^w_i key values
+      val exp = (0 until nChunks).map { i =>
+        val width = math.min(w, 64 - i * w)
+        if (width <= 0) pairs // degenerate chunk: the whole corpus collides
+        else pairs / math.pow(2.0, width)
+      }.sum
+      (nChunks.toLong, exp)
+    } else {
+      val c = maxHamming + 4
+      val base = 64 / c
+      val rem = 64 % c
+      val widths = (0 until c).map(i => base + (if (i < rem) 1 else 0))
+      val combos = (0 until c).combinations(4).toSeq
+      val exp = combos.map(idx =>
+        pairs / math.pow(2.0, idx.map(widths).sum)).sum
+      (combos.size.toLong, exp)
+    }
+  }
 }

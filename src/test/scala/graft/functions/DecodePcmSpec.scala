@@ -68,6 +68,28 @@ class DecodePcmSpec extends AnyFunSuite {
     }
   }
 
+  test("pcm_tone: plan output == direct synth bytes; nulls propagate; types checked") {
+    import spark.implicits._
+    val rows = Seq((8000, 250000L, 1600), (44100, 1378125L, 4410),
+      (16000, 3500000L, 320)).toDF("sr", "f_mhz", "n")
+    val got = rows.select(col("sr"), col("f_mhz"), col("n"),
+        pcm_tone(col("sr"), col("f_mhz"), col("n")).as("b"))
+      .collect()
+    got.foreach { r =>
+      val want = graft.audio.AudioSynth.tone(r.getInt(0), r.getLong(1), r.getInt(2))
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("b"), want),
+        s"sr=${r.getInt(0)}")
+    }
+    val withNull = Seq((Some(8000), Option.empty[Long], Some(100)))
+      .toDF("sr", "f_mhz", "n")
+      .select(pcm_tone(col("sr"), col("f_mhz"), col("n"))).collect()
+    assert(withNull.head.isNullAt(0))
+    val e = intercept[Exception] {
+      rows.select(pcm_tone(col("f_mhz"), col("f_mhz"), col("n"))).collect()
+    }
+    assert(e.getMessage.contains("pcm_tone") || e.getMessage.contains("DATATYPE"))
+  }
+
   test("decode_pcm rejects wrong input types at analysis time") {
     val e = intercept[Exception] {
       clips.select(decode_pcm(col("transcript"), col("codec"), col("sr_hz"))).collect()

@@ -124,5 +124,16 @@ class HashNearDupScaleSpec extends AnyFunSuite {
       s"old-scheme baseline lost its degenerate bucket: $old") // ~n^2/2
     assert(neu <= 10L * n, s"combo candidate volume super-linear: $neu for n=$n")
     assert(old >= 1000L * math.max(neu, 1L), s"reduction too small: $old vs $neu")
+    // the analytic planner matches the measured simulation within 2x
+    // (uniform balls-in-bins expectation vs one seeded draw)
+    val (emissions, expected) = Tuning.hashNearDupCost(n, maxHamming = 8)
+    assert(emissions == combos.length)
+    assert(expected > neu / 2.0 && expected < neu * 2.0,
+      s"planner says $expected, measured $neu")
+    // capacity-planning sanity at corpus scale: 1e9 images at h=8 stay
+    // ~1e14 candidates (vs 5e17 all-pairs) — bounded, not free; h=3 is
+    // ~1e13 at the same n with 4 emissions
+    val (_, atScale) = Tuning.hashNearDupCost(1000000000L, 8)
+    assert(atScale < 2e14, s"h=8 at 1e9 rows: $atScale")
   }
 }
