@@ -46,4 +46,45 @@ object Scrub {
   def scrubbed(textCol: Column): Column =
     regexp_replace(regexp_replace(textCol, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
+
+  /** Distinct word n-grams of a text column (whitespace tokens, lowered
+    * and trimmed — the d2/t2 tokenization, so the DuckDB oracle states
+    * the identical gram set). Texts shorter than `n` tokens yield none
+    * (guarded: Spark's sequence(a, b) with a > b DESCENDS, not errors). */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = split(trim(lower(textCol)), "\\s+")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** BENCHMARK DECONTAMINATION — the pre-training hygiene pass that flags
+    * corpus documents sharing long n-gram spans with an evaluation set
+    * (the GPT-3/PaLM appendix methodology: 8-gram collisions == likely
+    * test-set leakage; a contaminated doc inflates downstream evals).
+    * Returns (idCol, n_overlap) for every document with at least one
+    * distinct n-gram also present in `benchmark` — the drop/quarantine
+    * list with its evidence count.
+    *
+    * 100 TB shape: the corpus pays ONE scan + one distinct-gram explode;
+    * the benchmark's gram set is BROADCAST (eval suites are tiny against
+    * any training corpus), so the only shuffle is the (id, gram) rows
+    * that actually MATCH — contamination-rate-sized, never corpus-sized.
+    * Everything is built-in expressions (codegen'd split/slice), no UDF,
+    * and the whole operation is exactly statable in SQL (the t16 oracle
+    * computes the same gram sets and counts — no planted classes needed,
+    * organic overlaps included identically on both sides). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val bmGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    docs.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+      .join(broadcast(bmGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap")) // grams are distinct per doc
+  }
 }

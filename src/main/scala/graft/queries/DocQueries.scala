@@ -120,6 +120,19 @@ object DocQueries {
         .orderBy("doc_id")
     }),
 
+    // BENCHMARK DECONTAMINATION (Scrub.decontaminate, r6): flag corpus
+    // documents sharing 8-gram spans with an evaluation set — the
+    // GPT-3/PaLM-appendix leakage methodology as one broadcast-join scan.
+    // The "benchmark" is the doc_id%23==0 slice of the corpus itself, so
+    // the oracle computes BOTH gram sets exactly (no planted classes:
+    // organic cross-document overlaps count identically in both engines).
+    "t16_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.operators.Scrub.decontaminate(
+          d, d.filter(col("doc_id") % 23 === 0), "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Stratified deterministic downsampling (Sampling.stratifiedSample):
     // keep 25% of English and half of Chinese, all of the rest — the
     // language-rebalance staple. Membership is a pure salted id-hash (no
@@ -867,6 +880,19 @@ object DocQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
         |FROM planted ORDER BY doc_id""".stripMargin,
+    // exact 8-gram overlap counts vs the %23 benchmark slice — same
+    // tokenization as the d2/t2 oracles (trim+lower, \s+ split)
+    "t16_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i) s),
+        |bm AS (SELECT DISTINCT g FROM sh WHERE doc_id % 23 = 0)
+        |SELECT sh.doc_id, count(*) AS n_overlap
+        |FROM sh JOIN bm USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t12_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':strat') % 1000::UBIGINT <

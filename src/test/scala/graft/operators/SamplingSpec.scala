@@ -195,6 +195,30 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.packSequences(docs, "grp", "id", "toks", 0))
   }
 
+  test("decontaminate: exact 8-gram overlap counts; sub-span and unrelated docs clean") {
+    // benchmark: one 10-token eval item -> exactly 3 distinct 8-grams
+    val bench = Seq((0L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // full leak mid-text -> all 3 benchmark grams present
+      (1L, "intro words here the quick brown fox jumps over the lazy dog tonight and trailing prose"),
+      // 7-token sub-span -> no 8-gram can match
+      (2L, "padding the quick brown fox jumps over the padding end padding"),
+      // exactly one 8-token span of the item
+      (3L, "xx quick brown fox jumps over the lazy dog yy zz aa"),
+      // unrelated -> absent from the output entirely
+      (4L, "completely different content with no shared spans at all today"),
+      // CASE/whitespace robustness: tokenization lowers + trims
+      (5L, "  THE QUICK brown fox JUMPS over the lazy DOG tonight  "))
+      .toDF("doc_id", "text")
+    val got = Scrub.decontaminate(docs, bench, "text", "doc_id", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 3L -> 1L, 5L -> 3L), got.toString)
+    // short benchmark rows (< n tokens) contribute nothing and don't throw
+    val shortBench = Seq((0L, "too short")).toDF("doc_id", "text")
+    assert(Scrub.decontaminate(docs, shortBench, "text", "doc_id", n = 8).isEmpty)
+  }
+
   test("scrubPii: planted spans redacted exactly; idempotent; organic text untouched") {
     val rows = Seq(
       (1L, "plain organic text with numbers 1234 and a plus + sign"),
