@@ -392,9 +392,12 @@ object Bench {
     // which windowed rows land in the sink. (Median duration of 15 s bulk
     // batches measures batch SIZE, not engine latency.)
     // best-of-k depths tunable for big-SF runs (defaults = graded r2 setup)
-    val kHead = sys.env.getOrElse("SPARK_GRAFT_K_HEAD", "3").toInt
-    val kScale = sys.env.getOrElse("SPARK_GRAFT_K_SCALE", "5").toInt
-    val kSecondary = sys.env.getOrElse("SPARK_GRAFT_K_SECONDARY", "2").toInt
+    // k < 1 would run a pairing ZERO times and its -1 placeholder rows
+    // would read as a sink mismatch — clamp; use SPARK_GRAFT_SECONDARY=0
+    // to SKIP the secondary pairing (placeholders substituted correctly)
+    val kHead = math.max(1, sys.env.getOrElse("SPARK_GRAFT_K_HEAD", "3").toInt)
+    val kScale = math.max(1, sys.env.getOrElse("SPARK_GRAFT_K_SCALE", "5").toInt)
+    val kSecondary = math.max(1, sys.env.getOrElse("SPARK_GRAFT_K_SECONDARY", "2").toInt)
     val (thrHead, _, _, rowsHead) = safeMeasured(cpusHead, k = kHead)
     val (_, _, latHead, _) = safeMeasured(cpusHead, k = 1, perTriggerOverride = 1)
 
