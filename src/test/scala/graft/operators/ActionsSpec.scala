@@ -46,6 +46,40 @@ class ActionsSpec extends AnyFunSuite {
     assert(Actions.parse(" ; ").isEmpty)
   }
 
+  test("a compiled action list is a valid STREAM stage: stream == batch bit-for-bit") {
+    // the chain is pure column transforms (no state, no shuffle), so the
+    // same compiled list drops into a streaming DAG unchanged — the
+    // reference dispatches its action list per fetched page; here per
+    // micro-batched row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val chain = Actions.compile("strip_silence;resample:16000;transcode:ulaw")
+    val rows = clips.limit(12).collect().map { r =>
+      (r.getString(0), r.getAs[Array[Byte]](1), r.getString(2), r.getInt(3))
+    }.toSeq
+    val in = MemoryStream[(String, Array[Byte], String, Int)]
+    val q = chain(in.toDF().toDF("clip_id", "bytes", "codec", "sr_hz"))
+      .writeStream.format("memory").queryName("actions_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(5))
+      q.processAllAvailable()
+      in.addData(rows.drop(5))
+      q.processAllAvailable()
+      val stream = spark.table("actions_stream")
+        .select("clip_id", "bytes", "codec")
+        .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq,
+          r.getString(2))).sortBy(_._1)
+      val batch = chain(rows.toDF("clip_id", "bytes", "codec", "sr_hz"))
+        .select("clip_id", "bytes", "codec")
+        .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq,
+          r.getString(2))).sortBy(_._1)
+      assert(stream.length == rows.length)
+      assert(stream.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("chain output equals the independently applied kernels, bit for bit") {
     import spark.implicits._
     val sample = clips.limit(20).collect().map { r =>
