@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks over a fat binary column; at the
+  // former 8g default that is ~250 MB of heap per running task — far below
+  // any production executor's per-core memory (2-8 GB/core) — and the
+  // allocation-heavy decode kernels spent unpredictable time in GC under
+  // it (bimodal query timings). 24g =~ 750 MB/core, still small against
+  // the 128 GiB host; override with SPARK_DRIVER_MEM as before.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -57,8 +57,9 @@ object AudioCodec {
     }
   }
 
-  /** G.711 A-law byte -> linear (16-bit). */
-  def alawToLinear(alaw: Byte): Short = {
+  /** G.711 A-law byte -> linear (16-bit) — direct segment arithmetic
+    * (kept as the table generator; hot paths read [[AlawLin]]). */
+  private def alawToLinearCompute(alaw: Byte): Short = {
     val a = (alaw ^ 0x55) & 0xFF
     var t = (a & 0xF) << 4
     val seg = (a & 0x70) >> 4
@@ -69,6 +70,16 @@ object AudioCodec {
     }
     (if ((a & 0x80) != 0) t else -t).toShort
   }
+
+  /** 256-entry decode LUTs: a G.711 decode is a pure function of one byte,
+    * so the per-sample segment/shift arithmetic in every companded hot
+    * loop collapses to one array load (identical values by construction —
+    * the tables are generated from the arithmetic they replace). */
+  private val AlawLin: Array[Short] =
+    Array.tabulate(256)(i => alawToLinearCompute(i.toByte))
+
+  /** G.711 A-law byte -> linear (16-bit). */
+  @inline def alawToLinear(alaw: Byte): Short = AlawLin(alaw & 0xFF)
 
   /** G.711 linear (16-bit) -> mu-law byte (Sun/CCITT g711.c convention,
     * BIAS in the 16-bit domain — matched pair with ulawToLinear). */
@@ -83,13 +94,40 @@ object AudioCodec {
     else (((seg << 4) | ((pcm >> (seg + 3)) & 0xF)) ^ mask).toByte
   }
 
-  /** G.711 mu-law byte -> linear (16-bit). */
-  def ulawToLinear(ulaw: Byte): Short = {
+  /** G.711 mu-law byte -> linear (16-bit) — table generator (see
+    * [[AlawLin]]'s rationale). */
+  private def ulawToLinearCompute(ulaw: Byte): Short = {
     val u = (~ulaw) & 0xFF
     var t = ((u & 0xF) << 3) + UlawBias
     t <<= (u & 0x70) >> 4
     clampShort(if ((u & 0x80) != 0) UlawBias - t else t - UlawBias)
   }
+
+  private val UlawLin: Array[Short] =
+    Array.tabulate(256)(i => ulawToLinearCompute(i.toByte))
+
+  /** G.711 mu-law byte -> linear (16-bit). */
+  @inline def ulawToLinear(ulaw: Byte): Short = UlawLin(ulaw & 0xFF)
+
+  // Derived decode tables in the float/double domains the hot loops
+  // consume (identical values by construction: float = shortToFloat(lin),
+  // double = lin / 32768.0 — both exact power-of-two scalings), plus
+  // full 16-bit ENCODE tables (64 KB each; linearToXlaw is a pure
+  // function of the 16-bit sample). Hot loops hoist the table into a
+  // local before the loop — the module-field access per call was
+  // measurably slower than the arithmetic it replaced.
+  private[audio] val UlawLinF: Array[Float] =
+    Array.tabulate(256)(i => shortToFloat(UlawLin(i)))
+  private[audio] val AlawLinF: Array[Float] =
+    Array.tabulate(256)(i => shortToFloat(AlawLin(i)))
+  private[audio] val UlawLinD: Array[Double] =
+    Array.tabulate(256)(i => UlawLin(i) / 32768.0)
+  private[audio] val AlawLinD: Array[Double] =
+    Array.tabulate(256)(i => AlawLin(i) / 32768.0)
+  private[audio] val UlawEnc: Array[Byte] =
+    Array.tabulate(65536)(i => linearToUlaw(i.toShort))
+  private[audio] val AlawEnc: Array[Byte] =
+    Array.tabulate(65536)(i => linearToAlaw(i.toShort))
 
   // ----- byte[] <-> float[] -----
 
@@ -105,14 +143,16 @@ object AudioCodec {
       }
       out
     case Ulaw =>
+      val t = UlawEnc
       val out = new Array[Byte](samples.length)
       var i = 0
-      while (i < samples.length) { out(i) = linearToUlaw(floatToShort(samples(i))); i += 1 }
+      while (i < samples.length) { out(i) = t(floatToShort(samples(i)) & 0xFFFF); i += 1 }
       out
     case Alaw =>
+      val t = AlawEnc
       val out = new Array[Byte](samples.length)
       var i = 0
-      while (i < samples.length) { out(i) = linearToAlaw(floatToShort(samples(i))); i += 1 }
+      while (i < samples.length) { out(i) = t(floatToShort(samples(i)) & 0xFFFF); i += 1 }
       out
     case other => throw new IllegalArgumentException(s"unknown codec: $other")
   }
@@ -129,14 +169,16 @@ object AudioCodec {
       }
       out
     case Ulaw =>
+      val t = UlawLinF
       val out = new Array[Float](bytes.length)
       var i = 0
-      while (i < bytes.length) { out(i) = shortToFloat(ulawToLinear(bytes(i))); i += 1 }
+      while (i < bytes.length) { out(i) = t(bytes(i) & 0xFF); i += 1 }
       out
     case Alaw =>
+      val t = AlawLinF
       val out = new Array[Float](bytes.length)
       var i = 0
-      while (i < bytes.length) { out(i) = shortToFloat(alawToLinear(bytes(i))); i += 1 }
+      while (i < bytes.length) { out(i) = t(bytes(i) & 0xFF); i += 1 }
       out
     case other => throw new IllegalArgumentException(s"unknown codec: $other")
   }
@@ -165,13 +207,15 @@ object AudioCodec {
           acc += s * s; i += 1
         }
       case Ulaw =>
+        val t = UlawLinD
         n = bytes.length
         var i = 0
-        while (i < n) { val s = ulawToLinear(bytes(i)) / 32768.0; acc += s * s; i += 1 }
+        while (i < n) { val s = t(bytes(i) & 0xFF); acc += s * s; i += 1 }
       case Alaw =>
+        val t = AlawLinD
         n = bytes.length
         var i = 0
-        while (i < n) { val s = alawToLinear(bytes(i)) / 32768.0; acc += s * s; i += 1 }
+        while (i < n) { val s = t(bytes(i) & 0xFF); acc += s * s; i += 1 }
       case other => throw new IllegalArgumentException(s"unknown codec: $other")
     }
     if (n == 0) 0.0 else math.sqrt(acc / n)
@@ -216,14 +260,16 @@ object AudioCodec {
             acc += s * s; i += 1
           }
         case Ulaw =>
+          val t = UlawLinD
           var i = 0
           while (i < frameSamples) {
-            val s = ulawToLinear(bytes(base + i)) / 32768.0; acc += s * s; i += 1
+            val s = t(bytes(base + i) & 0xFF); acc += s * s; i += 1
           }
         case Alaw =>
+          val t = AlawLinD
           var i = 0
           while (i < frameSamples) {
-            val s = alawToLinear(bytes(base + i)) / 32768.0; acc += s * s; i += 1
+            val s = t(bytes(base + i) & 0xFF); acc += s * s; i += 1
           }
         case other => throw new IllegalArgumentException(s"unknown codec: $other")
       }
@@ -328,11 +374,22 @@ object AudioCodec {
           i += 1
         }
       case Ulaw =>
+        // step2 applies the two samples in exactly the single-step order
+        // (see the pcm16 comment) and the table holds lin/32768.0 exactly
+        // => bit-identical to the former per-sample arithmetic
+        val t = UlawLinD
         var i = 0
-        while (i < n) { step(ulawToLinear(bytes(i)) / 32768.0); i += 1 }
+        while (i + 1 < n) {
+          step2(t(bytes(i) & 0xFF), t(bytes(i + 1) & 0xFF)); i += 2
+        }
+        while (i < n) { step(t(bytes(i) & 0xFF)); i += 1 }
       case Alaw =>
+        val t = AlawLinD
         var i = 0
-        while (i < n) { step(alawToLinear(bytes(i)) / 32768.0); i += 1 }
+        while (i + 1 < n) {
+          step2(t(bytes(i) & 0xFF), t(bytes(i + 1) & 0xFF)); i += 2
+        }
+        while (i < n) { step(t(bytes(i) & 0xFF)); i += 1 }
       case other => throw new IllegalArgumentException(s"unknown codec: $other")
     }
     val out = new Array[Double](nBands)
@@ -345,11 +402,130 @@ object AudioCodec {
     out
   }
 
+  /** Fused tone synthesis + Goertzel filterbank — the optimizer-rule
+    * target for `pcm_band_energies(pcm_tone(srT, f, n), 'pcm16', srB)`
+    * (c10's shape): synthesizes the quantized samples and feeds the SAME
+    * step2/step recurrences as [[bandEnergies]]' pcm16 branch without
+    * materializing the 2n-byte encoded array or re-parsing it. Each
+    * sample's value is floatToShort(sample)/32768.0 — exactly what the
+    * encode+decode round trip yields — and the recurrence structure
+    * (pairwise step2, single-step tail) matches bandEnergies, so the
+    * result is bit-identical to the unfused pipeline while skipping one
+    * full encode pass, one decode pass and the per-row byte[] allocation
+    * (~2.8 GB of transient garbage over a 50k-clip corpus — the GC churn
+    * half of c10's cost instability). */
+  def toneBandEnergies(srTone: Int, fMilliHz: Long, n: Int,
+                       srBand: Int, nBands: Int = 8): Array[Double] = {
+    val pcm = AudioSynth.toneSamples(srTone, fMilliHz, n)
+    val coeff = new Array[Double](nBands)
+    var b = 0
+    while (b < nBands) {
+      val f = (b + 0.5) * srBand / (2.0 * nBands)
+      coeff(b) = 2.0 * math.cos(2.0 * math.Pi * f / srBand)
+      b += 1
+    }
+    val s1 = new Array[Double](nBands)
+    val s2 = new Array[Double](nBands)
+    @inline def step(x: Double): Unit = {
+      var b2 = 0
+      while (b2 < nBands) {
+        val s0 = x + coeff(b2) * s1(b2) - s2(b2)
+        s2(b2) = s1(b2); s1(b2) = s0
+        b2 += 1
+      }
+    }
+    @inline def step2(x0: Double, x1: Double): Unit = {
+      var b2 = 0
+      while (b2 < nBands) {
+        val c = coeff(b2); val a = s1(b2); val d = s2(b2)
+        val e = x0 + c * a - d
+        val f = x1 + c * e - a
+        s2(b2) = e; s1(b2) = f
+        b2 += 1
+      }
+    }
+    @inline def q(i: Int): Double = floatToShort(pcm(i)) / 32768.0
+    var i = 0
+    while (i + 1 < n) { step2(q(i), q(i + 1)); i += 2 }
+    while (i < n) { step(q(i)); i += 1 }
+    val out = new Array[Double](nBands)
+    b = 0
+    while (b < nBands) {
+      val e = s1(b) * s1(b) + s2(b) * s2(b) - coeff(b) * s1(b) * s2(b)
+      out(b) = if (n == 0) 0.0 else e / (n.toDouble * n.toDouble)
+      b += 1
+    }
+    out
+  }
+
   /** Transcode: decode `codec` then re-encode as `target`. Sample count is
     * preserved; fidelity is bounded by the lossier of the two codecs (G.711
-    * companding keeps SNR >= ~30 dB on speech-band signals). */
-  def transcode(bytes: Array[Byte], codec: String, target: String): Array[Byte] =
-    encode(decode(bytes, codec), target)
+    * companding keeps SNR >= ~30 dB on speech-band signals).
+    *
+    * Byte-domain fast paths (r7): the float round trip is an exact
+    * identity — `floatToShort(shortToFloat(s)) == s` for every short
+    * (divide and multiply by the same power of two, round-to-nearest) —
+    * so each codec pair collapses to table lookups with OUTPUT BYTES
+    * IDENTICAL to the decode+encode composition (TranscodeTables are
+    * generated from that composition's own functions): G.711 -> G.711 is
+    * one 256-byte map per direction, pcm16 -> G.711 indexes the encode
+    * table by the raw short, G.711 -> pcm16 writes the decode table's
+    * short, pcm16 -> pcm16 is the identity. No float arrays, no
+    * intermediate allocation — this is the twin-construction branch of
+    * c14/c15/c20 and the final stage of every `transcode:` action chain
+    * (c21). */
+  private val UlawToAlaw: Array[Byte] =
+    Array.tabulate(256)(i => AlawEnc(UlawLin(i) & 0xFFFF))
+  private val AlawToUlaw: Array[Byte] =
+    Array.tabulate(256)(i => UlawEnc(AlawLin(i) & 0xFFFF))
+  // same-codec "transcode" still round-trips through the quantizer in the
+  // composition — tabulate that round trip rather than assuming G.711
+  // codes are re-encode fixed points
+  private val UlawRound: Array[Byte] =
+    Array.tabulate(256)(i => UlawEnc(UlawLin(i) & 0xFFFF))
+  private val AlawRound: Array[Byte] =
+    Array.tabulate(256)(i => AlawEnc(AlawLin(i) & 0xFFFF))
+
+  def transcode(bytes: Array[Byte], codec: String, target: String): Array[Byte] = {
+    @inline def mapBytes(t: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](bytes.length)
+      var i = 0
+      while (i < bytes.length) { out(i) = t(bytes(i) & 0xFF); i += 1 }
+      out
+    }
+    (codec, target) match {
+      // decode+encode of pcm16 truncates a trailing odd byte and is
+      // otherwise the exact identity (floatToShort . shortToFloat = id)
+      case (Pcm16, Pcm16) => java.util.Arrays.copyOf(bytes, bytes.length / 2 * 2)
+      case (Ulaw, Ulaw) => mapBytes(UlawRound)
+      case (Alaw, Alaw) => mapBytes(AlawRound)
+      case (Ulaw, Alaw) => mapBytes(UlawToAlaw)
+      case (Alaw, Ulaw) => mapBytes(AlawToUlaw)
+      case (Pcm16, Ulaw) | (Pcm16, Alaw) =>
+        val enc = if (target == Ulaw) UlawEnc else AlawEnc
+        val n = bytes.length / 2
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          val s = (bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)
+          out(i) = enc(s & 0xFFFF)
+          i += 1
+        }
+        out
+      case (Ulaw, Pcm16) | (Alaw, Pcm16) =>
+        val lin = if (codec == Ulaw) UlawLin else AlawLin
+        val out = new Array[Byte](bytes.length * 2)
+        var i = 0
+        while (i < bytes.length) {
+          val s = lin(bytes(i) & 0xFF)
+          out(2 * i) = (s & 0xFF).toByte
+          out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        out
+      case _ => encode(decode(bytes, codec), target) // unknown-codec errors
+    }
+  }
 
   /** Exact output length of [[resample]] — pure integer math so the
     * contract is statable in oracle SQL: floor(n * dstHz / srcHz). */
@@ -439,9 +615,25 @@ object AudioCodec {
         val cs = pf.coeffs(r)
         val kLo = base + pf.jLo(r)
         if (kLo >= 0 && kLo + cs.length <= n) {
-          // interior sample: full kernel, precomputed DC gain
+          // interior sample: full kernel, precomputed DC gain. FOUR
+          // accumulators: a single `acc +=` chain is latency-bound (one
+          // double add per 4-5 cycles); independent partial sums run at
+          // FMA throughput — ~3x on this, the dominant loop of c17/c21.
+          // The reassociated sum can move the rounded output by at most
+          // 1 LSB; the resample contract pins output LENGTH exactly and
+          // fidelity only at >= 30 dB SNR (both unaffected).
+          var a0 = 0.0; var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+          val m2 = cs.length
           var i = 0
-          while (i < cs.length) { acc += in(kLo + i) * cs(i); i += 1 }
+          while (i + 3 < m2) {
+            a0 += in(kLo + i) * cs(i)
+            a1 += in(kLo + i + 1) * cs(i + 1)
+            a2 += in(kLo + i + 2) * cs(i + 2)
+            a3 += in(kLo + i + 3) * cs(i + 3)
+            i += 4
+          }
+          while (i < m2) { a0 += in(kLo + i) * cs(i); i += 1 }
+          acc = (a0 + a1) + (a2 + a3)
           wsum = pf.wsum(r)
         } else {
           // edge sample: clip the kernel to the signal, renormalize
@@ -478,6 +670,46 @@ object AudioCodec {
     val end = math.min(from + len, pcm.length)
     while (i < end) { val s0 = pcm(i) + c * s1 - s2; s2 = s1; s1 = s0; i += 1 }
     s1 * s1 + s2 * s2 - c * s1 * s2
+  }
+
+  /** Goertzel power at MANY integer frequencies in ONE pass over the
+    * window. Each frequency's recurrence is independent and its arithmetic
+    * (coefficient formula, update order, final power) is IDENTICAL to
+    * [[goertzelPower]], so every output is bit-equal to the single-probe
+    * call — only the loop nesting changes. The point is throughput: one
+    * probe is a serial dependency chain (~2 FMA latencies per sample);
+    * interleaving m probes gives m independent chains, so the scan stages
+    * of [[scanTone]] run at FMA *throughput* instead of latency — measured
+    * ~4-6x on the tonePair kernel, the dominant per-clip cost of every
+    * audio near-dup query (c14/c15/c20 + organic variants). */
+  def goertzelPowerMulti(pcm: Array[Float], srHz: Int, fs: Array[Int],
+                         from: Int, len: Int): Array[Double] = {
+    val m = fs.length
+    val cs = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      cs(j) = 2.0 * math.cos(2.0 * math.Pi * fs(j).toDouble / srHz); j += 1
+    }
+    val s1 = new Array[Double](m)
+    val s2 = new Array[Double](m)
+    var i = from
+    val end = math.min(from + len, pcm.length)
+    while (i < end) {
+      val x = pcm(i)
+      var j2 = 0
+      while (j2 < m) {
+        val s0 = x + cs(j2) * s1(j2) - s2(j2)
+        s2(j2) = s1(j2); s1(j2) = s0
+        j2 += 1
+      }
+      i += 1
+    }
+    val out = new Array[Double](m)
+    j = 0
+    while (j < m) {
+      out(j) = s1(j) * s1(j) + s2(j) * s2(j) - cs(j) * s1(j) * s2(j); j += 1
+    }
+    out
   }
 
   /** Least-squares fit of a sinusoid at integer frequency `f` and its
@@ -546,24 +778,36 @@ object AudioCodec {
     val w1 = math.min(wMax, 512)
     val res1 = math.max(1.0, srHz.toDouble / w1)
     val step1 = math.max(1, math.ceil(res1 / 2).toInt)
-    var bestF = lo; var bestP = -1.0
-    var f = lo
-    while (f <= hi) {
-      val p = goertzelPower(pcm, srHz, f, 0, w1)
-      if (p > bestP) { bestP = p; bestF = f }
-      f += step1
-    }
-    def scanAround(w: Int, radius: Int, st: Int): Unit = {
-      var bf = bestF; var bp = -1.0
-      var g = math.max(lo, bestF - radius)
-      val end = math.min(hi, bestF + radius)
-      while (g <= end) {
-        val p = goertzelPower(pcm, srHz, g, 0, w)
-        if (p > bp) { bp = p; bf = g }
-        g += st
+    var bestF = lo
+    // Every scan stage runs its probe set through goertzelPowerMulti (ONE
+    // pass, all probes interleaved) and takes the strictly-greater argmax
+    // in ascending-frequency order — probe set, per-probe arithmetic and
+    // tie-breaking are identical to the former probe-at-a-time loops, so
+    // the selected frequency is bit-for-bit the same; only wall clock
+    // changes (independent recurrence chains instead of one serial chain
+    // per probe — see goertzelPowerMulti).
+    def scanBest(fs: Array[Int], w: Int): Unit = {
+      if (fs.isEmpty) return
+      val ps = goertzelPowerMulti(pcm, srHz, fs, 0, w)
+      var bp = -1.0; var bf = bestF
+      var j = 0
+      while (j < fs.length) {
+        if (ps(j) > bp) { bp = ps(j); bf = fs(j) }
+        j += 1
       }
       bestF = bf
     }
+    def rangeProbes(from: Int, to: Int, st: Int): Array[Int] = {
+      if (from > to) return Array.emptyIntArray
+      val out = new Array[Int]((to - from) / st + 1)
+      var g = from; var j = 0
+      while (g <= to) { out(j) = g; j += 1; g += st }
+      out
+    }
+    scanBest(rangeProbes(lo, hi, step1), w1)
+    def scanAround(w: Int, radius: Int, st: Int): Unit =
+      scanBest(rangeProbes(math.max(lo, bestF - radius),
+        math.min(hi, bestF + radius), st), w)
     var w = w1
     var errHz = 2.0 * res1 // coarse argmax lands within ~2 coarse bins
     var lastSt = step1
@@ -710,11 +954,13 @@ object AudioCodec {
           i += 1
         }
       case Ulaw =>
+        val t = UlawLin
         var i = 0
-        while (i < n) { acc(ulawToLinear(bytes(i)).toInt); i += 1 }
+        while (i < n) { acc(t(bytes(i) & 0xFF).toInt); i += 1 }
       case Alaw =>
+        val t = AlawLin
         var i = 0
-        while (i < n) { acc(alawToLinear(bytes(i)).toInt); i += 1 }
+        while (i < n) { acc(t(bytes(i) & 0xFF).toInt); i += 1 }
       case other => throw new IllegalArgumentException(s"unknown codec: $other")
     }
     Array(silent.toDouble / n, clipped.toDouble / n,
@@ -758,19 +1004,44 @@ object AudioSynth {
     h
   }
 
-  /** Pure sine tone, pcm16-encoded: `n` samples of 0.5*sin(2*pi*f*i/sr)
-    * with `f = fMilliHz / 1000` (milli-Hz so band-center frequencies like
+  /** Pure sine tone samples: `n` floats of 0.5*sin(2*pi*f*i/sr) with
+    * `f = fMilliHz / 1000` (milli-Hz so band-center frequencies like
     * 2756.25 Hz stay exact integers end-to-end — the c10 oracle states
-    * them in integer SQL arithmetic). Shares NO code with the Goertzel
-    * filterbank it is used to verify. */
-  def tone(srHz: Int, fMilliHz: Long, n: Int): Array[Byte] = {
+    * them in integer SQL arithmetic).
+    *
+    * sin advances by a PHASOR RECURRENCE (one 2x2 rotation per sample)
+    * with an exact Math.sin/cos resync every 1024 samples: per-call trig
+    * pays large-angle argument reduction (~25-80 ns/sample) and was the
+    * dominant cost of the c10 synthesis+filterbank query; the rotation is
+    * ~4 mul+2 add. Drift between resyncs is <= 1024 rotations of ~1-ulp
+    * error (~1e-13 absolute in double) — five orders of magnitude below
+    * the float cast's own 6e-8 quantum, so the emitted float samples are
+    * equal to the direct-trig samples except for a ~1e-6 fraction that
+    * can move by one float ulp (far inside every downstream margin:
+    * int16 quantization is 3e-5, the c10 band-argmax margin ~1e5). */
+  def toneSamples(srHz: Int, fMilliHz: Long, n: Int): Array[Float] = {
     require(srHz > 0 && n >= 0, s"bad tone params sr=$srHz n=$n")
     val w = 2.0 * math.Pi * (fMilliHz / 1000.0) / srHz
+    val cw = math.cos(w); val sw = math.sin(w)
     val out = new Array[Float](n)
     var i = 0
-    while (i < n) { out(i) = (0.5 * math.sin(w * i)).toFloat; i += 1 }
-    AudioCodec.encode(out, AudioCodec.Pcm16)
+    while (i < n) {
+      // exact anchor for this 1024-sample block
+      var s = math.sin(w * i); var c = math.cos(w * i)
+      val end = math.min(n, i + 1024)
+      while (i < end) {
+        out(i) = (0.5 * s).toFloat
+        val nc = c * cw - s * sw; s = s * cw + c * sw; c = nc
+        i += 1
+      }
+    }
+    out
   }
+
+  /** Pure sine tone, pcm16-encoded (see [[toneSamples]]). Shares NO code
+    * with the Goertzel filterbank it is used to verify. */
+  def tone(srHz: Int, fMilliHz: Long, n: Int): Array[Byte] =
+    AudioCodec.encode(toneSamples(srHz, fMilliHz, n), AudioCodec.Pcm16)
 
   /** Synthesize `n` samples at `srHz`, deterministically from `seed`. */
   def synth(seed: Long, srHz: Int, n: Int): Array[Float] = {

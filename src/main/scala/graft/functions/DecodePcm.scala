@@ -482,6 +482,42 @@ case class PcmTone(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
+/** `tone_band_energies(sr_tone, f_milli_hz, n, sr_band)` -> array<double>
+  * — the FUSED form of `pcm_band_energies(pcm_tone(sr, f, n), 'pcm16',
+  * sr)`, produced by the [[graft.plans.ToneBandFusion]] optimizer rule
+  * (never written by hand in a query): bit-identical output (see
+  * [[graft.audio.AudioCodec.toneBandEnergies]]) without materializing and
+  * re-parsing the synthesized pcm16 byte array. */
+case class ToneBandEnergies(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, nBands: Int = 8)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = first.dataType == IntegerType &&
+      second.dataType == org.apache.spark.sql.types.LongType &&
+      third.dataType == IntegerType && fourth.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tone_band_energies expects (int, bigint, int, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType}, ${fourth.dataType})")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "tone_band_energies"
+  override def nullSafeEval(sr: Any, fMilliHz: Any, n: Any, srB: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      AudioCodec.toneBandEnergies(sr.asInstanceOf[Int],
+        fMilliHz.asInstanceOf[Long], n.asInstanceOf[Int],
+        srB.asInstanceOf[Int], nBands))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, f, n, sb) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.audio.AudioCodec.toneBandEnergies(" +
+        s"$s, $f, $n, $sb, $nBands));")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+}
+
 object GraftFunctions {
   /** Expression -> Column bridge (Spark 4 classic API). */
   def toColumn(e: Expression): Column = Bridge.column(e)

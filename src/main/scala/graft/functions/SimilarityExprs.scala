@@ -121,6 +121,86 @@ private[functions] trait FloatVecBinary extends BinaryExpression {
 }
 
 /** cosine_sim(array<float>, array<float>) -> double */
+/** Combination-chunk candidate keys for wide-radius hash near-dup (the
+  * maxHamming >= 5 scheme of Dedup.hashKeys): the 64-bit signature is
+  * split into c = maxHamming+4 chunks and every 4-subset of chunk values
+  * is packed into one long key (16-bit lanes, lexicographic subset
+  * order). Key VALUES are identical to the former expression-tree form
+  * (same chunk offsets/widths, same `((v0<<16|v1)<<16|v2)<<16|v3`
+  * packing, same `(0 until c).combinations(4)` enumeration order) — this
+  * expression exists because the tree form was C(c,4) array elements of
+  * ~20 sub-expressions each (h=8: 495 keys, ~10k expression nodes): the
+  * optimizer walked it on every plan, and the generated projection code
+  * blew far past JIT-friendly method sizes. One static call computing the
+  * keys in a tight loop keeps the scan inside small, JIT-compiled
+  * whole-stage codegen. */
+object HashCombKeysKernel {
+  /** Per-radius scheme cache: (chunk offsets, chunk masks, 4-subsets). */
+  private final class Scheme(val offs: Array[Int], val masks: Array[Long],
+                             val combos: Array[Array[Int]])
+  private val schemes = new Array[Scheme](32)
+
+  private def scheme(maxHamming: Int): Scheme = {
+    val cached = schemes(maxHamming)
+    if (cached != null) return cached
+    val c = maxHamming + 4
+    val base = 64 / c
+    val rem = 64 % c
+    val offs = new Array[Int](c)
+    val masks = new Array[Long](c)
+    var o = 0
+    var i = 0
+    while (i < c) {
+      val width = base + (if (i < rem) 1 else 0)
+      offs(i) = o
+      masks(i) = (1L << width) - 1
+      o += width
+      i += 1
+    }
+    val combos = (0 until c).combinations(4).map(_.toArray).toArray
+    val s = new Scheme(offs, masks, combos)
+    schemes.synchronized { schemes(maxHamming) = s }
+    s
+  }
+
+  def keys(sig: Long, maxHamming: Int): Array[Long] = {
+    val s = scheme(maxHamming)
+    val cv = new Array[Long](s.offs.length)
+    var i = 0
+    while (i < cv.length) {
+      cv(i) = (sig >>> s.offs(i)) & s.masks(i); i += 1
+    }
+    val out = new Array[Long](s.combos.length)
+    i = 0
+    while (i < out.length) {
+      val idx = s.combos(i)
+      out(i) = ((((((cv(idx(0)) << 16) | cv(idx(1))) << 16) |
+        cv(idx(2))) << 16) | cv(idx(3)))
+      i += 1
+    }
+    out
+  }
+}
+
+/** `hash_comb_keys(sig) -> array<bigint>` — see [[HashCombKeysKernel]]. */
+case class HashCombKeys(child: Expression, maxHamming: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hash_comb_keys expects bigint, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_comb_keys"
+  override def nullSafeEval(sig: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      HashCombKeysKernel.keys(sig.asInstanceOf[Long], maxHamming))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.HashCombKeysKernel.keys($s, $maxHamming));")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class CosineSim(left: Expression, right: Expression) extends FloatVecBinary {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"

@@ -164,12 +164,14 @@ object Dedup {
     // (see [[Rehydration]] for the trade and the cache lifecycle).
     val pairs0 = minhashLsh(df, textCol, idCol, k, bands)
     val pairs = if (direct) pairs0 else persistCandidates(pairs0)
-    def side(s: String, out: String) = {
-      val base = if (direct) texts
-        else texts.join(broadcast(pairs.select(col(s).as("id")).distinct()),
-          Seq("id"), "leftsemi")
-      base.select(col("id").as(s), col("text").as(out))
-    }
+    // r7: semi path reduces ONCE on both sides' ids (one corpus pass, not
+    // one per side — the audioNearDupShift one-pass-hydration rationale)
+    val hydrated = if (direct) texts else persistCandidates(
+      texts.join(broadcast(pairs.select(col("id_a").as("id"))
+          .unionByName(pairs.select(col("id_b").as("id"))).distinct()),
+        Seq("id"), "leftsemi"))
+    def side(s: String, out: String) =
+      hydrated.select(col("id").as(s), col("text").as(out))
     pairs
       .join(side("id_a", "text_a"), "id_a")
       .join(side("id_b", "text_b"), "id_b")
@@ -214,10 +216,14 @@ object Dedup {
     val texts = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
       .unionByName(delta.select(col(idCol).as("id"), col(textCol).as("text")))
       .dropDuplicates("id")
-    def side(s: String, out: String) = texts
-      .join(broadcast(cands.select(col(s).as("id")).distinct()),
-        Seq("id"), "leftsemi")
-      .select(col("id").as(s), col("text").as(out))
+    // r7: one-pass hydration (see audioNearDupShift) — one corpus text
+    // scan for both pair sides instead of one per side
+    val hydrated = persistCandidates(
+      texts.join(broadcast(cands.select(col("id_a").as("id"))
+          .unionByName(cands.select(col("id_b").as("id"))).distinct()),
+        Seq("id"), "leftsemi"))
+    def side(s: String, out: String) =
+      hydrated.select(col("id").as(s), col("text").as(out))
     cands
       .join(side("id_a", "text_a"), "id_a")
       .join(side("id_b", "text_b"), "id_b")
@@ -513,38 +519,13 @@ object Dedup {
     * pairing, the stored key table ([[hashKeys]]) and the incremental
     * path. See [[hashNearDup]] for the scheme and its scale math. */
   private def hashKeyCols(maxHamming: Int): Seq[Column] = {
-    require(maxHamming >= 0 && maxHamming <= 31,
-      s"maxHamming must be in [0, 31], got $maxHamming")
-    val keyCols: Seq[Column] =
-      if (maxHamming <= 4) {
-        val nChunks = maxHamming + 1
-        val w = (64 + nChunks - 1) / nChunks
-        (0 until nChunks).map { i =>
-          val width = math.min(w, 64 - i * w)
-          shiftrightunsigned(col("sig"), i * w)
-            .bitwiseAND(lit(if (width >= 64) -1L else (1L << width) - 1))
-        }
-      } else {
-        val c = maxHamming + 4
-        val base = 64 / c
-        val rem = 64 % c // first `rem` chunks get base+1 bits
-        val offs = (0 until c).scanLeft(0)((o, i) =>
-          o + base + (if (i < rem) 1 else 0))
-        val chunkVals = (0 until c).map { i =>
-          val width = base + (if (i < rem) 1 else 0)
-          shiftrightunsigned(col("sig"), offs(i))
-            .bitwiseAND(lit((1L << width) - 1))
-        }
-        // each 4-subset key packs its 4 chunk values into 16-bit lanes
-        // (widths <= 16 always for c >= 9) plus the combo index in the
-        // top nibble-space via the `chunk` column — no hashing needed,
-        // and packing keeps the key exactly collision-free per combo
-        (0 until c).combinations(4).toSeq.map { idx =>
-          idx.map(chunkVals).reduceLeft((acc, v) =>
-            shiftleft(acc, 16).bitwiseOR(v))
-        }
-      }
-    keyCols
+    val nChunks = maxHamming + 1
+    val w = (64 + nChunks - 1) / nChunks
+    (0 until nChunks).map { i =>
+      val width = math.min(w, 64 - i * w)
+      shiftrightunsigned(col("sig"), i * w)
+        .bitwiseAND(lit(if (width >= 64) -1L else (1L << width) - 1))
+    }
   }
 
   /** The EXPLODED candidate-key table of a signature set: (id, sig,
@@ -552,10 +533,25 @@ object Dedup {
     * ingest (the audioFingerprints discipline applied to hash keys), so
     * every later incremental batch joins against stored columns without
     * recomputing a single key. C(maxHamming+4, 4) rows per signature at
-    * wide radii — linear, scan-only, parquet-compressed. */
-  def hashKeys(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
+    * wide radii — linear, scan-only, parquet-compressed.
+    *
+    * The wide-radius (>= 5) combination keys come from the native
+    * `hash_comb_keys` kernel (r7): identical key values to the former
+    * C(c,4)-element expression tree, but one small codegen'd call instead
+    * of ~10k expression nodes — the tree form dominated i4/v3/v4's time
+    * in optimizer walks and produced projection methods far past the JIT
+    * compile threshold (see [[graft.functions.HashCombKeysKernel]]). */
+  def hashKeys(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val keysArray =
+      if (maxHamming <= 4) array(hashKeyCols(maxHamming): _*)
+      else graft.functions.GraftFunctions.toColumn(
+        graft.functions.HashCombKeys(
+          graft.functions.GraftFunctions.toExpr(col("sig")), maxHamming))
     sigs.select(col("id"), col("sig"),
-      posexplode(array(hashKeyCols(maxHamming): _*)).as(Seq("chunk", "ckey")))
+      posexplode(keysArray).as(Seq("chunk", "ckey")))
+  }
 
   /** INCREMENTAL hash near-dup — the i4/v3/d3 analog of
     * [[audioNearDupIncremental]]: a DELTA of new signatures pairs against
@@ -664,13 +660,16 @@ object Dedup {
     // SemiJoin: only candidate rows' vectors reach a join, the persist is
     // the stage boundary the three references share. Direct: one pass, no
     // persist. See [[Rehydration]] for the switch and cache lifecycle.
+    // r7: the semi path reduces ONCE on the union of both sides' ids and
+    // persists the hydrated slice (one payload scan, not one per side —
+    // the audioNearDupShift one-pass-hydration rationale).
     val pairs = if (direct) pairs0 else persistCandidates(pairs0)
-    def side(s: String, out: String) = {
-      val base = if (direct) vecs
-        else vecs.join(broadcast(pairs.select(col(s).as("id")).distinct()),
-          Seq("id"), "leftsemi")
-      base.select(col("id").as(s), col("v").as(out))
-    }
+    val hydrated = if (direct) vecs else persistCandidates(
+      vecs.join(broadcast(pairs.select(col("id_a").as("id"))
+          .unionByName(pairs.select(col("id_b").as("id"))).distinct()),
+        Seq("id"), "leftsemi"))
+    def side(s: String, out: String) =
+      hydrated.select(col("id").as(s), col("v").as(out))
     pairs
       .join(side("id_a", "v_a"), "id_a")
       .join(side("id_b", "v_b"), "id_b")
@@ -720,10 +719,14 @@ object Dedup {
     val vecs = corpusVecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .unionByName(delta)
       .dropDuplicates("id")
-    def side(s: String, out: String) = vecs
-      .join(broadcast(cross.select(col(s).as("id")).distinct()),
-        Seq("id"), "leftsemi")
-      .select(col("id").as(s), col("v").as(out))
+    // one-pass hydration (see audioNearDupShift): reduce on the union of
+    // both sides' ids, persist the tiny slice, join both sides from cache
+    val hydrated = persistCandidates(
+      vecs.join(broadcast(cross.select(col("id_a").as("id"))
+          .unionByName(cross.select(col("id_b").as("id"))).distinct()),
+        Seq("id"), "leftsemi"))
+    def side(s: String, out: String) =
+      hydrated.select(col("id").as(s), col("v").as(out))
     val crossVerified = cross
       .join(side("id_a", "v_a"), "id_a")
       .join(side("id_b", "v_b"), "id_b")
@@ -898,13 +901,21 @@ object Dedup {
     // dup-rate-sized by design, so the single broadcast is the default.
     val payload = clips.select(col(idCol).as("id"),
       col(bytesCol).as("pbytes"), col(codecCol).as("pcodec"))
-    def reduced(side: String) = payload
-      .join(broadcast(cands.select(col(side).as("id")).distinct()),
-        Seq("id"), "leftsemi")
+    // ONE-PASS hydration (r7): the former per-side semi-join reduction
+    // evaluated the payload subtree once per pair side — two full scans
+    // of the fattest column in the engine to serve one dup-rate-sized
+    // candidate set. Reduce ONCE on the union of both sides' ids and
+    // persist the (tiny) hydrated slice; both sides then join against
+    // cached blocks. Same rows reach the verify kernel — output
+    // identical — at half the payload-scan cost (guide §2.4).
+    val ids = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id"))).distinct()
+    val hydrated = persistCandidates(
+      payload.join(broadcast(ids), Seq("id"), "leftsemi"))
     cands
-      .join(reduced("id_a").select(col("id").as("id_a"),
+      .join(hydrated.select(col("id").as("id_a"),
         col("pbytes").as("bytes_a"), col("pcodec").as("codec_a")), "id_a")
-      .join(reduced("id_b").select(col("id").as("id_b"),
+      .join(hydrated.select(col("id").as("id_b"),
         col("pbytes").as("bytes_b"), col("pcodec").as("codec_b")), "id_b")
       .filter(pcm_aligned_corr(col("bytes_a"), col("codec_a"),
         col("bytes_b"), col("codec_b")) >= minCorr)
@@ -1001,13 +1012,17 @@ object Dedup {
         col(bytesCol).as("pbytes"), col(codecCol).as("pcodec"))
       .unionByName(delta.select(col(idCol).as("id"),
         col(bytesCol).as("pbytes"), col(codecCol).as("pcodec")))
-    def reduced(side: String) = payload
-      .join(broadcast(cross.select(col(side).as("id")).distinct()),
-        Seq("id"), "leftsemi")
+    // one-pass hydration on the union of both sides' ids — see
+    // audioNearDupShift (identical rows reach the verify, one corpus
+    // payload scan instead of two)
+    val ids = cross.select(col("id_a").as("id"))
+      .unionByName(cross.select(col("id_b").as("id"))).distinct()
+    val hydrated = persistCandidates(
+      payload.join(broadcast(ids), Seq("id"), "leftsemi"))
     val crossVerified = cross
-      .join(reduced("id_a").select(col("id").as("id_a"),
+      .join(hydrated.select(col("id").as("id_a"),
         col("pbytes").as("bytes_a"), col("pcodec").as("codec_a")), "id_a")
-      .join(reduced("id_b").select(col("id").as("id_b"),
+      .join(hydrated.select(col("id").as("id_b"),
         col("pbytes").as("bytes_b"), col("pcodec").as("codec_b")), "id_b")
       .filter(pcm_aligned_corr(col("bytes_a"), col("codec_a"),
         col("bytes_b"), col("codec_b")) >= minCorr)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Size
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{DecodePcm, PcmSampleCount}
+import graft.functions.{DecodePcm, PcmBandEnergies, PcmSampleCount, PcmTone, ToneBandEnergies}
 
 /** Optimizer rule: elide full PCM decodes whose result is only counted.
   *
@@ -24,12 +24,33 @@ object DecodeElision extends Rule[LogicalPlan] {
     }
 }
 
+/** Optimizer rule: fuse `pcm_band_energies(pcm_tone(sr, f, n), 'pcm16',
+  * srB)` into the single [[ToneBandEnergies]] kernel — skips encoding the
+  * synthesized samples to a pcm16 byte array and re-parsing them (one
+  * allocation + two full passes per row), with bit-identical output (the
+  * fused kernel quantizes each sample through the same floatToShort /
+  * 32768.0 round trip and runs the same recurrence structure — see
+  * AudioCodec.toneBandEnergies). The kernel-fusion analog of
+  * [[DecodeElision]]: don't materialize what the next expression will
+  * immediately take apart. */
+object ToneBandFusion extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case PcmBandEnergies(PcmTone(sr, f, n),
+          org.apache.spark.sql.catalyst.expressions.Literal(codec, t), srB, nBands)
+          if t == org.apache.spark.sql.types.StringType && codec != null &&
+            codec.toString == graft.audio.AudioCodec.Pcm16 =>
+        ToneBandEnergies(sr, f, n, srB, nBands)
+    }
+}
+
 /** Session extensions: graft function registration + optimizer rules.
   * Usable via `--conf spark.sql.extensions=graft.plans.GraftExtensions`
   * on spark-submit, or `.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DecodeElision)
+    e.injectOptimizerRule(_ => ToneBandFusion)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("decode_pcm"),

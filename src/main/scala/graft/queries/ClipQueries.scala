@@ -42,21 +42,30 @@ object ClipQueries {
     * codec's own encode(0), built with repeat/unhex (no UDF; `_fb` =
     * bytes per frame, sr DIV 2 samples = 500ms). */
   private def gappedCorpus(clips: DataFrame): DataFrame = {
-    val base = clips.select(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
-    val gapped = base
-      .filter(expr("CAST(substr(clip_id, 6, 8) AS INT) % 20 = 2"))
-      .withColumn("_fb", expr(
-        "CAST(sr_hz DIV 20 AS BIGINT) * (CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END)"))
-      .withColumn("_voiced", expr(
-        "substring(bytes, 1, CAST(octet_length(bytes) DIV _fb * _fb AS INT))"))
-      .withColumn("_sil", expr(
-        s"unhex(repeat(CASE codec WHEN 'pcm16' THEN '0000' " +
-          s"WHEN 'ulaw' THEN '$UlawZeroHex' ELSE '$AlawZeroHex' END, " +
-          "CAST(sr_hz DIV 2 AS INT)))"))
-      .select(concat(col("clip_id"), lit("-g")).as("clip_id"),
-        concat(col("_sil"), col("_voiced"), col("_sil"), col("_voiced")).as("bytes"),
-        col("codec"), col("sr_hz"))
-    base.unionByName(gapped)
+    // r7: single-scan planting (the c14 rationale — the former
+    // base.unionByName(gapped) scanned the parquet bytes column twice;
+    // the conditional explode emits the identical row set in one pass).
+    // The silence/voiced sub-expressions live INSIDE the when() branch —
+    // a withColumn alias would be materialized for every row (Catalyst
+    // only inlines cheap aliases), whereas here they are evaluated only
+    // on residue-2 rows; codegen subexpression elimination dedupes the
+    // repeated snippets within the branch.
+    val fb = "(CAST(sr_hz DIV 20 AS BIGINT) * " +
+      "(CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END))"
+    val voiced = s"substring(bytes, 1, CAST(octet_length(bytes) DIV $fb * $fb AS INT))"
+    val sil = s"unhex(repeat(CASE codec WHEN 'pcm16' THEN '0000' " +
+      s"WHEN 'ulaw' THEN '$UlawZeroHex' ELSE '$AlawZeroHex' END, " +
+      "CAST(sr_hz DIV 2 AS INT)))"
+    val gappedBytes = expr(s"concat($sil, $voiced, $sil, $voiced)")
+    val orig = struct(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
+    clips.select(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
+      .select(explode(
+        when(expr("CAST(substr(clip_id, 6, 8) AS INT) % 20 = 2"),
+          array(orig,
+            struct(concat(col("clip_id"), lit("-g")).as("clip_id"),
+              gappedBytes.as("bytes"), col("codec"), col("sr_hz"))))
+          .otherwise(array(orig))).as("r"))
+      .select("r.*")
   }
 
   /** The reference "persons cards" payload re-expressed (SURVEY.md §7.2.3):
@@ -145,15 +154,22 @@ object ClipQueries {
     // edges 0.02 / 0.69 sit >= 25% from every population at any scale,
     // so class equality == the decode+RMS kernel is right for EVERY row.
     // The numeric rms itself is pinned vs reference PCM in DecodePcmSpec.
+    // r7: single-scan planting (c14 rationale) — one parquet pass
+    // instead of three.
     "c7_decode_energy" -> ((s, dir) => {
-      val clips = ClipGen.readClips(s, dir)
+      val res = substring(col("clip_id"), 6, 8).cast("int") % 20
+      val orig = struct(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
+      def twin(g: Double, tag: String) =
+        struct(concat(col("clip_id"), lit(tag)).as("clip_id"),
+          pcm_gain(col("bytes"), col("codec"), lit(g)).as("bytes"),
+          col("codec"), col("sr_hz"))
+      ClipGen.readClips(s, dir)
         .select("clip_id", "bytes", "codec", "sr_hz")
-      def planted(residue: Int, g: Double, tag: String) = clips
-        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === residue)
-        .withColumn("bytes", pcm_gain(col("bytes"), col("codec"), lit(g)))
-        .withColumn("clip_id", concat(col("clip_id"), lit(tag)))
-      clips.unionByName(planted(7, 0.0, "-e0"))
-        .unionByName(planted(17, 6.0, "-e6"))
+        .select(explode(
+          when(res === 7, array(orig, twin(0.0, "-e0")))
+            .when(res === 17, array(orig, twin(6.0, "-e6")))
+            .otherwise(array(orig))).as("r"))
+        .select("r.*")
         .select(col("clip_id"), col("codec"),
           pcm_sample_count(col("bytes"), col("codec")).as("n_samples"),
           pcm_rms(col("bytes"), col("codec")).as("rms"))
@@ -256,16 +272,27 @@ object ClipQueries {
     // detector). The oracle states the planted pair set in SQL from
     // clip_id arithmetic — expressible because recall and precision are
     // both 1.0 on this corpus (AudioDedupSpec measures the margins).
+    // r7 (single-scan planting): the former `clips.unionByName(twins)`
+    // scanned the 2.4 GB parquet bytes column TWICE — once for the corpus
+    // fingerprints, once (filtered to 1/20) to build the twins. One scan
+    // with a conditional per-row explode emits the identical row set
+    // (twin rows only for residue-0 ids, transcode evaluated only on the
+    // taken branch), so the detector input — and therefore the oracled
+    // output — is unchanged while the payload is read once (guide §2.4:
+    // remove the duplicate pass outright).
     "c14_audio_neardup" -> ((s, dir) => {
-      val clips = ClipGen.readClips(s, dir)
-        .select("clip_id", "bytes", "codec", "sr_hz")
       val twinCodec = when(col("codec") === "ulaw", lit("alaw")).otherwise(lit("ulaw"))
-      val twins = clips
-        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === 0)
-        .withColumn("bytes", pcm_transcode(col("bytes"), col("codec"), twinCodec))
-        .withColumn("codec", twinCodec)
-        .withColumn("clip_id", concat(col("clip_id"), lit("-t")))
-      graft.operators.Dedup.audioNearDup(clips.unionByName(twins))
+      val orig = struct(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
+      val twin = struct(concat(col("clip_id"), lit("-t")).as("clip_id"),
+        pcm_transcode(col("bytes"), col("codec"), twinCodec).as("bytes"),
+        twinCodec.as("codec"), col("sr_hz"))
+      val withTwins = ClipGen.readClips(s, dir)
+        .select("clip_id", "bytes", "codec", "sr_hz")
+        .select(explode(
+          when(substring(col("clip_id"), 6, 8).cast("int") % 20 === 0,
+            array(orig, twin)).otherwise(array(orig))).as("r"))
+        .select("r.*")
+      graft.operators.Dedup.audioNearDup(withTwins)
         .orderBy("id_a", "id_b")
     }),
 
@@ -277,18 +304,23 @@ object ClipQueries {
     // (n changed); audioNearDupShift's duration-bucketed candidates +
     // aligned-cross-correlation verify must recover exactly the planted
     // pairs from the bytes alone (recall AND precision 1.0).
+    // r7: single-scan planting, same rationale as c14 (identical row set,
+    // one parquet pass instead of two).
     "c15_audio_neardup_shift" -> ((s, dir) => {
-      val clips = ClipGen.readClips(s, dir)
-        .select("clip_id", "bytes", "codec", "sr_hz")
       val twinCodec = when(col("codec") === "ulaw", lit("alaw")).otherwise(lit("ulaw"))
       val trimmed = expr(
         "substring(bytes, CASE WHEN codec = 'pcm16' THEN 321 ELSE 161 END)")
-      val twins = clips
-        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === 10)
-        .withColumn("bytes", pcm_transcode(trimmed, col("codec"), twinCodec))
-        .withColumn("codec", twinCodec)
-        .withColumn("clip_id", concat(col("clip_id"), lit("-s")))
-      graft.operators.Dedup.audioNearDupShift(clips.unionByName(twins))
+      val orig = struct(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
+      val twin = struct(concat(col("clip_id"), lit("-s")).as("clip_id"),
+        pcm_transcode(trimmed, col("codec"), twinCodec).as("bytes"),
+        twinCodec.as("codec"), col("sr_hz"))
+      val withTwins = ClipGen.readClips(s, dir)
+        .select("clip_id", "bytes", "codec", "sr_hz")
+        .select(explode(
+          when(substring(col("clip_id"), 6, 8).cast("int") % 20 === 10,
+            array(orig, twin)).otherwise(array(orig))).as("r"))
+        .select("r.*")
+      graft.operators.Dedup.audioNearDupShift(withTwins)
         .orderBy("id_a", "id_b")
     }),
 
@@ -331,14 +363,22 @@ object ClipQueries {
     // <= 0.88, silence ratio ~1e-3) must never trip either threshold —
     // equality with the id-arithmetic oracle = recall AND precision 1.0.
     // One scan-stage pass per clip, no shuffle of audio bytes anywhere.
+    // r7: single-scan planting (c14 rationale) — the former corpus + two
+    // planted-branch unions scanned the parquet bytes column THREE times.
     "c16_audio_quality" -> ((s, dir) => {
-      val clips = ClipGen.readClips(s, dir)
+      val res = substring(col("clip_id"), 6, 8).cast("int") % 20
+      val orig = struct(col("clip_id"), col("bytes"), col("codec"), col("sr_hz"))
+      def twin(g: Double, tag: String) =
+        struct(concat(col("clip_id"), lit(tag)).as("clip_id"),
+          pcm_gain(col("bytes"), col("codec"), lit(g)).as("bytes"),
+          col("codec"), col("sr_hz"))
+      ClipGen.readClips(s, dir)
         .select("clip_id", "bytes", "codec", "sr_hz")
-      def planted(residue: Int, g: Double, tag: String) = clips
-        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === residue)
-        .withColumn("bytes", pcm_gain(col("bytes"), col("codec"), lit(g)))
-        .withColumn("clip_id", concat(col("clip_id"), lit(tag)))
-      clips.unionByName(planted(5, 0.0, "-q0")).unionByName(planted(15, 8.0, "-q8"))
+        .select(explode(
+          when(res === 5, array(orig, twin(0.0, "-q0")))
+            .when(res === 15, array(orig, twin(8.0, "-q8")))
+            .otherwise(array(orig))).as("r"))
+        .select("r.*")
         .select(col("clip_id"),
           pcm_quality(col("bytes"), col("codec")).as("q"))
         .select(col("clip_id"),

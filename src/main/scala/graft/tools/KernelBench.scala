@@ -18,6 +18,8 @@ object KernelBench {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"$label: ${ms / n}%.3f ms/clip  (${ms}%.0f ms / $n clips)")
     }
+    time("bandEnergies32-pre")(rows.foreach(r =>
+      AudioCodec.bandEnergies(r.bytes, r.codec, r.sr_hz, 32)))
     time("tonePair")(rows.foreach(r => AudioCodec.tonePair(r.bytes, r.codec, r.sr_hz)))
     time("bandEnergies32")(rows.foreach(r =>
       AudioCodec.bandEnergies(r.bytes, r.codec, r.sr_hz, 32)))

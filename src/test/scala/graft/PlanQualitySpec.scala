@@ -129,6 +129,24 @@ class PlanQualitySpec extends AnyFunSuite {
       case other => other +: other.children.flatMap(allNodes)
     }
 
+  /** Like [[allNodes]] but descending THROUGH cache boundaries
+    * (InMemoryTableScan -> relation.cachedPlan): the r7 one-pass
+    * hydration persists the semi-join-reduced payload slice, so the
+    * reduction the binary-shuffle gates look for lives inside a cached
+    * subplan below the exchange. Used ONLY by those per-exchange
+    * reduction searches — kernel-site counters keep [[allNodes]] /
+    * [[allPlanNodes]], which visit each cached plan exactly once. */
+  private def allNodesThroughCache(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodesThroughCache(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: allNodesThroughCache(q.plan)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s +: allNodesThroughCache(unwrapAqe(s.relation.cachedPlan))
+      case other => other +: other.children.flatMap(allNodesThroughCache)
+    }
+
   private def allPhysicalPlans(
       qe: org.apache.spark.sql.execution.QueryExecution): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val cached = qe.optimizedPlan.collect {
@@ -177,7 +195,7 @@ class PlanQualitySpec extends AnyFunSuite {
         // shuffle with no reduction below it is the 100 TB incident this
         // gate exists for (the whole byte column hash-shuffled + sorted
         // to serve a tiny candidate set — filled the sandbox disk at sf1).
-        val reduced = allNodes(e.child).collect {
+        val reduced = allNodesThroughCache(e.child).collect {
           case b: org.apache.spark.sql.execution.joins.BaseJoinExec
             if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
         }
@@ -215,7 +233,7 @@ class PlanQualitySpec extends AnyFunSuite {
           val binCols = e.child.output.filter(a =>
             a.dataType == org.apache.spark.sql.types.BinaryType &&
               a.name != "buf").map(_.name)
-          val reduced = allNodes(e.child).collect {
+          val reduced = allNodesThroughCache(e.child).collect {
             case b: org.apache.spark.sql.execution.joins.BaseJoinExec
               if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
           }
