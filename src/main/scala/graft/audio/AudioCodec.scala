@@ -360,19 +360,29 @@ object AudioCodec {
         b2 += 1
       }
     }
+    // four samples per band visit (r7): quarters the state traffic; the
+    // per-band op sequence is exactly two chained step2 applications =>
+    // still bit-identical (KernelEquivalenceSpec gates the family)
+    @inline def step4(x0: Double, x1: Double, x2: Double, x3: Double): Unit = {
+      var b2 = 0
+      while (b2 < nBands) {
+        val c = coeff(b2); val a = s1(b2); val d = s2(b2)
+        val e = x0 + c * a - d
+        val f = x1 + c * e - a
+        val g = x2 + c * f - e
+        val h = x3 + c * g - f
+        s2(b2) = g; s1(b2) = h
+        b2 += 1
+      }
+    }
     codec match {
       case Pcm16 =>
+        @inline def x(i: Int): Double =
+          (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort) / 32768.0
         var i = 0
-        while (i + 1 < n) {
-          step2(
-            (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort) / 32768.0,
-            (((bytes(2 * i + 2) & 0xFF) | (bytes(2 * i + 3) << 8)).toShort) / 32768.0)
-          i += 2
-        }
-        while (i < n) {
-          step((((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort) / 32768.0)
-          i += 1
-        }
+        while (i + 3 < n) { step4(x(i), x(i + 1), x(i + 2), x(i + 3)); i += 4 }
+        while (i + 1 < n) { step2(x(i), x(i + 1)); i += 2 }
+        while (i < n) { step(x(i)); i += 1 }
       case Ulaw =>
         // step2 applies the two samples in exactly the single-step order
         // (see the pcm16 comment) and the table holds lin/32768.0 exactly
@@ -416,7 +426,18 @@ object AudioCodec {
     * half of c10's cost instability). */
   def toneBandEnergies(srTone: Int, fMilliHz: Long, n: Int,
                        srBand: Int, nBands: Int = 8): Array[Double] = {
-    val pcm = AudioSynth.toneSamples(srTone, fMilliHz, n)
+    // STREAMING synthesis: generate samples in a reusable 1024-sample
+    // block (the phasor's exact-resync block size, so sample values are
+    // IDENTICAL to AudioSynth.toneSamples) instead of materializing a
+    // float[n] per row — the per-row up-to-700 KB allocation was the
+    // remaining GC churn of c10 under memory pressure. Blocks are
+    // 1024-aligned and even, so the pairwise step2 consumption below
+    // never straddles a block boundary and the recurrence order matches
+    // bandEnergies' pcm16 branch exactly.
+    require(srTone > 0 && n >= 0, s"bad tone params sr=$srTone n=$n")
+    val pcm = new Array[Float](math.min(n, 1024))
+    val w = 2.0 * math.Pi * (fMilliHz / 1000.0) / srTone
+    val cw = math.cos(w); val sw = math.sin(w)
     val coeff = new Array[Double](nBands)
     var b = 0
     while (b < nBands) {
@@ -444,10 +465,23 @@ object AudioCodec {
         b2 += 1
       }
     }
-    @inline def q(i: Int): Double = floatToShort(pcm(i)) / 32768.0
-    var i = 0
-    while (i + 1 < n) { step2(q(i), q(i + 1)); i += 2 }
-    while (i < n) { step(q(i)); i += 1 }
+    var blockStart = 0
+    while (blockStart < n) {
+      // exact anchor per 1024-sample block — identical to toneSamples
+      var s = math.sin(w * blockStart); var c = math.cos(w * blockStart)
+      val blockLen = math.min(1024, n - blockStart)
+      var j = 0
+      while (j < blockLen) {
+        pcm(j) = (0.5 * s).toFloat
+        val nc = c * cw - s * sw; s = s * cw + c * sw; c = nc
+        j += 1
+      }
+      @inline def q(i: Int): Double = floatToShort(pcm(i)) / 32768.0
+      var i = 0
+      while (i + 1 < blockLen) { step2(q(i), q(i + 1)); i += 2 }
+      while (i < blockLen) { step(q(i)); i += 1 }
+      blockStart += blockLen
+    }
     val out = new Array[Double](nBands)
     b = 0
     while (b < nBands) {
@@ -553,7 +587,8 @@ object AudioCodec {
     * like every other codec kernel. */
   private final class PolyFilter(val L: Int, val M: Int, val jLo: Array[Int],
                                  val coeffs: Array[Array[Double]],
-                                 val wsum: Array[Double])
+                                 val wsum: Array[Double],
+                                 val identityPhase: Array[Boolean])
   private val filterCache =
     new java.util.concurrent.ConcurrentHashMap[Long, PolyFilter]()
 
@@ -574,6 +609,7 @@ object AudioCodec {
     val jLo = new Array[Int](l)
     val coeffs = new Array[Array[Double]](l)
     val wsum = new Array[Double](l)
+    val identity = new Array[Boolean](l)
     var r = 0
     while (r < l) {
       val frac = ((r.toLong * mm) % l).toDouble / l
@@ -586,9 +622,18 @@ object AudioCodec {
       while (j <= hi) { val c = kernelCoeff(frac - j, fc, half); cs(j - lo) = c; s += c; j += 1 }
       coeffs(r) = cs
       wsum(r) = s
+      // UPSAMPLING identity phase (r7): at fc == 1 and zero fractional
+      // offset the kernel is a delta up to float residue (sin(pi*k)/pi*k
+      // at ~1e-17 for integer k != 0) — such output samples are the input
+      // sample to within ~1e-16 relative. Emitting in(base) directly
+      // skips the whole tap loop for 1/L of outputs (HALF of them on the
+      // dominant 8k->16k path). Sample values move by < 1e-9 of full
+      // scale — invisible to the int16 encode and far inside the >= 30 dB
+      // fidelity contract; output LENGTH (the oracle) is untouched.
+      identity(r) = fc == 1.0 && frac == 0.0
       r += 1
     }
-    new PolyFilter(l, mm, jLo, coeffs, wsum)
+    new PolyFilter(l, mm, jLo, coeffs, wsum, identity)
   }
 
   def resample(bytes: Array[Byte], codec: String, srcHz: Int, dstHz: Int): Array[Byte] = {
@@ -614,7 +659,10 @@ object AudioCodec {
         val base = q * pf.M + (r * pf.M) / pf.L // = floor(t)
         val cs = pf.coeffs(r)
         val kLo = base + pf.jLo(r)
-        if (kLo >= 0 && kLo + cs.length <= n) {
+        if (pf.identityPhase(r) && base < n) {
+          // (acc/wsum).toFloat below reproduces in(base) exactly
+          acc = in(base); wsum = 1.0
+        } else if (kLo >= 0 && kLo + cs.length <= n) {
           // interior sample: full kernel, precomputed DC gain. FOUR
           // accumulators: a single `acc +=` chain is latency-bound (one
           // double add per 4-5 cycles); independent partial sums run at

@@ -338,18 +338,32 @@ object ClipQueries {
       val twinCodec = when(col("codec") === "ulaw", lit("alaw")).otherwise(lit("ulaw"))
       val trimmed = expr(
         "substring(bytes, CASE WHEN codec = 'pcm16' THEN 321 ELSE 161 END)")
-      val twins = clips
-        .filter(substring(col("clip_id"), 6, 8).cast("int") % 20 === 10)
-        .withColumn("bytes", pcm_transcode(trimmed, col("codec"), twinCodec))
-        .withColumn("codec", twinCodec)
-        .withColumn("clip_id", concat(col("clip_id"), lit("-s")))
       // MATERIALIZE the fingerprints, as production would (they are a
       // stored table there — see runDedupedToTable): joining on
       // kernel-COMPUTED key columns makes Catalyst's inferred IsNotNull
       // constraint filters re-evaluate the DSP kernel per key (the r4
       // self-join lesson, measured ~5x here); checkpointed plain columns
       // join with zero kernel cost.
-      val fp = graft.operators.Dedup.audioFingerprints(clips).localCheckpoint(true)
+      // r7 (one scan for fingerprints AND delta): the corpus fingerprint
+      // pass and the in-query twin construction each scanned the full
+      // parquet bytes column; one combined scan emits the fp row plus an
+      // optional twin struct (transcode evaluated only on residue-10
+      // rows) and the checkpoint materializes both — fp rows are tiny,
+      // the twin payload is delta-sized. Same fp table, same delta rows,
+      // so the oracled output is unchanged.
+      val combined = clips.select(col("clip_id"), col("sr_hz"),
+          pcm_sample_count(col("bytes"), col("codec")).as("n"),
+          pcm_tone_pair(col("bytes"), col("codec"), col("sr_hz")).as("tones"),
+          when(substring(col("clip_id"), 6, 8).cast("int") % 20 === 10,
+            struct(concat(col("clip_id"), lit("-s")).as("clip_id"),
+              pcm_transcode(trimmed, col("codec"), twinCodec).as("bytes"),
+              twinCodec.as("codec"), col("sr_hz"))).as("twin"))
+        .select(struct(col("clip_id").as("id"), col("sr_hz").as("sr"),
+          col("n"), element_at(col("tones"), 1).as("f1"),
+          element_at(col("tones"), 2).as("f2")).as("fp"), col("twin"))
+        .localCheckpoint(true)
+      val fp = combined.select("fp.*")
+      val twins = combined.filter(col("twin").isNotNull).select("twin.*")
       graft.operators.Dedup.audioNearDupIncremental(fp, clips, twins)
         .orderBy("id_a", "id_b")
     }),
