@@ -465,6 +465,20 @@ object AudioCodec {
         b2 += 1
       }
     }
+    // step4 == two chained step2 bodies (bandEnergies' r7 stride) =>
+    // bit-identical; the fused-vs-unfused equality spec gates it
+    @inline def step4(x0: Double, x1: Double, x2: Double, x3: Double): Unit = {
+      var b2 = 0
+      while (b2 < nBands) {
+        val c = coeff(b2); val a = s1(b2); val d = s2(b2)
+        val e = x0 + c * a - d
+        val f = x1 + c * e - a
+        val g = x2 + c * f - e
+        val h = x3 + c * g - f
+        s2(b2) = g; s1(b2) = h
+        b2 += 1
+      }
+    }
     var blockStart = 0
     while (blockStart < n) {
       // exact anchor per 1024-sample block — identical to toneSamples
@@ -478,6 +492,7 @@ object AudioCodec {
       }
       @inline def q(i: Int): Double = floatToShort(pcm(i)) / 32768.0
       var i = 0
+      while (i + 3 < blockLen) { step4(q(i), q(i + 1), q(i + 2), q(i + 3)); i += 4 }
       while (i + 1 < blockLen) { step2(q(i), q(i + 1)); i += 2 }
       while (i < blockLen) { step(q(i)); i += 1 }
       blockStart += blockLen

@@ -104,14 +104,35 @@ object LangProfile {
       if (langPriority.isEmpty) col("lang")
       else expr("array_position(array(" +
         langPriority.map(l => s"'$l'").mkString(",") + "), lang)")
-    val langs = broadcast(profiles.select("lang").distinct())
-    val dist = docProf.crossJoin(langs)
+    // r7 (guide §2.3 — shuffle/scan fewer rows): the former shape
+    // cross-joined every ranked doc gram against every language (docProf
+    // x |langs| rows, ~13x blowup) and left-joined profiles to mark the
+    // misses. The out-of-place distance decomposes as
+    //   dist(doc, lang) = sum_matched |dr - pr|
+    //                   + profileSize * (doc_size - n_matched)
+    // so an INNER broadcast join on gram alone (only profile-present
+    // grams survive — the rows that carry information) plus per-doc
+    // gram counts reconstructs the identical dist for every language
+    // with at least one matched gram. Languages with ZERO matched grams
+    // had dist = profileSize*doc_size, while any matched language has
+    // dist <= profileSize*doc_size - 1 (each |dr-pr| <= profileSize-1),
+    // so an all-unmatched language can never win the argmin — and when
+    // NO language matches at all, the missing best row coalesces to
+    // "und" exactly as the old all-unmatched distance did through the
+    // confidence gate. Output provably identical; the t10 oracle stays
+    // hash-green.
+    val docSize = docProf.groupBy(idCol).agg(count(lit(1)).as("doc_size"))
+    val dist = docProf
       .join(broadcast(profiles.select(col("lang"), col("gram"),
-        col("rank").as("pr"))), Seq("lang", "gram"), "left")
+        col("rank").as("pr"))), Seq("gram"))
       .groupBy(idCol, "lang")
-      .agg(sum(coalesce(abs(col("dr") - col("pr")),
-          lit(profileSize.toLong))).as("dist"),
-        count(lit(1)).as("doc_size"))
+      .agg(sum(abs(col("dr") - col("pr"))).as("_mdist"),
+        count(lit(1)).as("_nm"))
+      .join(docSize, Seq(idCol))
+      .select(id, col("lang"),
+        (col("_mdist") +
+          (col("doc_size") - col("_nm")) * profileSize.toLong).as("dist"),
+        col("doc_size"))
     val best = dist
       .withColumn("_rn", row_number().over(
         Window.partitionBy(idCol).orderBy(col("dist"), prio, col("lang"))))
