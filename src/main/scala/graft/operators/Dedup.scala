@@ -212,13 +212,19 @@ object Dedup {
       .select(least(col("id"), col("id_d")).as("id_a"),
         greatest(col("id"), col("id_d")).as("id_b"))
       .distinct()
-    val cands = persistCandidates(cands0)
     val texts = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
       .unionByName(delta.select(col(idCol).as("id"), col(textCol).as("text")))
       .dropDuplicates("id")
-    // r7: one-pass hydration (see audioNearDupShift) — one corpus text
-    // scan for both pair sides instead of one per side
-    val hydrated = persistCandidates(
+    // r7: the Rehydration.Auto discipline, extended to the incremental
+    // path — a tiny corpus (fixture scale) takes the DIRECT join (no
+    // persist, no broadcast id set; the pair set is referenced once), a
+    // real corpus takes the semi-join reduction with ONE-PASS hydration
+    // (one corpus text scan for both pair sides instead of one per
+    // side — see audioNearDupShift). Output identical either way, like
+    // nearDupJaccard's own Auto switch.
+    val direct = choosesDirect(texts, Rehydration.Auto)
+    val cands = if (direct) cands0 else persistCandidates(cands0)
+    val hydrated = if (direct) texts else persistCandidates(
       texts.join(broadcast(cands.select(col("id_a").as("id"))
           .unionByName(cands.select(col("id_b").as("id"))).distinct()),
         Seq("id"), "leftsemi"))
@@ -719,12 +725,14 @@ object Dedup {
     val vecs = corpusVecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .unionByName(delta)
       .dropDuplicates("id")
-    // one-pass hydration (see audioNearDupShift): reduce on the union of
-    // both sides' ids, persist the tiny slice, join both sides from cache
-    val hydrated = persistCandidates(
-      vecs.join(broadcast(cross.select(col("id_a").as("id"))
-          .unionByName(cross.select(col("id_b").as("id"))).distinct()),
-        Seq("id"), "leftsemi"))
+    // r7: Rehydration.Auto discipline (see nearDupJaccardIncremental) —
+    // direct join for tiny corpora, semi-join reduction with one-pass
+    // hydration for real ones; output identical either way
+    val hydrated = if (choosesDirect(vecs, Rehydration.Auto)) vecs
+      else persistCandidates(
+        vecs.join(broadcast(cross.select(col("id_a").as("id"))
+            .unionByName(cross.select(col("id_b").as("id"))).distinct()),
+          Seq("id"), "leftsemi"))
     def side(s: String, out: String) =
       hydrated.select(col("id").as(s), col("v").as(out))
     val crossVerified = cross
