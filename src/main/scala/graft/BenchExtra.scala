@@ -22,7 +22,9 @@ object BenchExtra {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val filter = if (args.nonEmpty) args(0) else "all"
-    val k = if (args.length > 1) args(1).toInt else 2
+    // clamp like the frozen Bench's best-of-k depths: k < 1 would run a
+    // query zero times and crash on ts.min after the warm-up work
+    val k = math.max(1, if (args.length > 1) args(1).toInt else 2)
     val spark = GraftSession.create(s"local[$cpus]", cpus, "graft-benchextra")
     val (clipsPath, updatesPath) = ClipGen.ensure(spark, sfDir)
 
@@ -43,7 +45,12 @@ object BenchExtra {
     val nearDupPath =
       if (needsImages) graft.fixtures.NearDupImageGen.ensure(spark, sfDir) else ""
 
-    // identical organic variants to Bench's (bench-only timing identities)
+    // identical organic variants to Bench's (bench-only timing
+    // identities). DELIBERATELY duplicated: Bench.scala is frozen for
+    // measurement (the driver hashes it), so its private list cannot be
+    // exposed for sharing — keep this block textually in sync with
+    // Bench.organicVariants when (and only when) a future non-frozen
+    // round edits it there.
     val organic: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "c14org_neardup_organic" -> ((s: SparkSession, dir: String) =>
         graft.operators.Dedup.audioNearDup(

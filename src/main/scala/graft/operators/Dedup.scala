@@ -555,8 +555,16 @@ object Dedup {
       else graft.functions.GraftFunctions.toColumn(
         graft.functions.HashCombKeys(
           graft.functions.GraftFunctions.toExpr(col("sig")), maxHamming))
-    sigs.select(col("id"), col("sig"),
-      posexplode(keysArray).as(Seq("chunk", "ckey")))
+    // NULL signatures (a hash kernel's null for a corrupt payload)
+    // contribute NO candidate keys at either radius — normalized
+    // explicitly because the two branches would otherwise disagree (the
+    // expression array yields null ELEMENTS, the null-intolerant kernel
+    // call a null ARRAY). Pairing never consumed null-key rows anyway
+    // (the in-group filters drop them); this pins the stored-key-table
+    // row contract to the same rule.
+    sigs.filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(keysArray).as(Seq("chunk", "ckey")))
   }
 
   /** INCREMENTAL hash near-dup — the i4/v3/d3 analog of
